@@ -1,0 +1,209 @@
+"""Elementary population-model pdf kernels, written for XLA/TPU.
+
+Log-space forms are the primary implementations (numerically robust in
+float32 on TPU); linear-space wrappers exponentiate them.  All functions are
+pure ``jnp`` and safe under ``jit``/``grad``/``vmap``: every piecewise branch
+is expressed with ``jnp.where`` over finite-valued operands so gradients stay
+finite at the truncation boundaries.
+
+API parity with the reference library ``gwinferno/distributions.py``
+(reference lines noted per function).  Known reference defects are *not*
+replicated: ``smooth`` implements the intended piecewise window semantics
+(the reference's second ``where`` condition at distributions.py:20 is
+tautological).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.nn import sigmoid
+from jax.scipy.special import betaln
+from jax.scipy.special import erf
+
+__all__ = [
+    "smooth",
+    "logistic_function",
+    "logistic_unit",
+    "log_logistic_unit",
+    "powerlaw_logit_pdf",
+    "powerlaw_pdf",
+    "log_powerlaw_pdf",
+    "truncnorm_pdf",
+    "log_truncnorm_pdf",
+    "betadist",
+    "log_betadist",
+]
+
+
+def smooth(dx, x, xmin):
+    """Planck-taper-style low-mass smoothing window.
+
+    0 below ``xmin``; rises smoothly over ``[xmin, xmin + dx)``; 1 above.
+    In the window the value is ``sigmoid(-(dx/(x-xmin) + dx/(x-xmin-dx)))``.
+
+    Parity: gwinferno/distributions.py:16-21 (intended semantics; the
+    reference's second ``where`` condition is tautological -- SURVEY.md
+    S7.3 item 6 -- so we implement the standard gwpopulation window).
+    """
+    x = jnp.asarray(x)
+    below = jnp.less(x, xmin)
+    above = jnp.greater_equal(x, xmin + dx)
+    in_window = ~below & ~above
+    # Evaluate the exponent only at "safe" x to keep grads finite at bounds.
+    safe_x = jnp.where(in_window, x, xmin + 0.5 * dx)
+    z = dx / (safe_x - xmin) + dx / (safe_x - xmin - dx)
+    window = sigmoid(-z)  # == 1 / (exp(z) + 1)
+    return jnp.where(below, 0.0, jnp.where(above, 1.0, window))
+
+
+def logistic_function(x, L, k, x0):
+    """Logistic curve ``L / (1 + exp(-k (x - x0)))``.
+
+    Parity: gwinferno/distributions.py:24-37.
+    """
+    return L * sigmoid(k * (x - x0))
+
+
+def logistic_unit(x, x0, sgn=1, sc=4):
+    """Soft truncation window: logistic of unit height centered at ``x0``.
+
+    ``sgn=1`` truncates on the right, ``sgn=-1`` on the left; ``sc`` sets the
+    sharpness.  Parity: gwinferno/distributions.py:40-53.
+    """
+    return logistic_function(x, 1.0, -1 * sgn * sc, x0)
+
+
+def log_logistic_unit(x, x0, sgn=1, sc=4):
+    """Log of :func:`logistic_unit`, stable deep in the truncated tail.
+
+    Uses ``log sigmoid(t) = t + log sigmoid(-t)`` for ``t < 0`` so the result
+    is finite (linear) far past the truncation point instead of ``log(0)``.
+    Parity: gwinferno/distributions.py:56-72.
+    """
+    t = -sgn * sc * (x - x0)
+    # log sigmoid(t), computed on the stable side of the identity.
+    return jnp.where(
+        jnp.less(t, 0),
+        t - jnp.log1p(jnp.exp(jnp.where(jnp.less(t, 0), t, -t))),
+        -jnp.log1p(jnp.exp(jnp.where(jnp.less(t, 0), 0.0, -t))),
+    )
+
+
+def powerlaw_logit_pdf(xx, alpha, low=None, high=None, low_fall_off=4.0, high_fall_off=4.0):
+    """Unnormalized powerlaw ``x**alpha`` with soft (logistic) truncation.
+
+    Parity: gwinferno/distributions.py:75-97.
+    """
+    prob = jnp.power(xx, alpha)
+    if low is not None:
+        prob = prob * logistic_unit(xx, low, sgn=-1.0, sc=low_fall_off)
+    if high is not None:
+        prob = prob * logistic_unit(xx, high, sgn=1.0, sc=high_fall_off)
+    return prob
+
+
+def _powerlaw_log_norm(alpha, low, high):
+    """log of the truncated-powerlaw normalization constant.
+
+    Handles the ``alpha == -1`` measure-zero branch with a ``where`` select
+    (both branches evaluated on safe operands)."""
+    alpha = jnp.asarray(alpha, dtype=jnp.result_type(float))
+    is_m1 = jnp.equal(alpha, -1.0)
+    safe_alpha = jnp.where(is_m1, 0.0, alpha)
+    # generic branch: log[(1+a) / (high^(1+a) - low^(1+a))]
+    ap1 = 1.0 + safe_alpha
+    generic = jnp.log(jnp.abs(ap1)) - jnp.log(jnp.abs(high**ap1 - low**ap1))
+    special = -jnp.log(jnp.log(high / low))
+    return jnp.where(is_m1, special, generic)
+
+
+def log_powerlaw_pdf(xx, alpha, low, high, floor=-jnp.inf):
+    """Log-pdf of the sharply truncated powerlaw on ``[low, high]``.
+
+    ``alpha == -1`` uses the logarithmic normalization.  Out-of-bounds values
+    get ``floor`` (default ``-inf``).  The in-bounds log is evaluated at a
+    clipped abscissa so gradients stay finite outside the support.
+    """
+    oob = jnp.less(xx, low) | jnp.greater(xx, high)
+    safe_x = jnp.clip(xx, low, high)
+    logp = alpha * jnp.log(safe_x) + _powerlaw_log_norm(alpha, low, high)
+    return jnp.where(oob, floor, logp)
+
+
+def powerlaw_pdf(xx, alpha, low, high, floor=0.0):
+    """pdf of the sharply truncated powerlaw (normalized on ``[low, high]``).
+
+    Parity: gwinferno/distributions.py:100-119 (incl. the ``alpha == -1``
+    special case at :112-116).
+    """
+    oob = jnp.less(xx, low) | jnp.greater(xx, high)
+    safe_x = jnp.where(oob, jnp.asarray(low, dtype=jnp.result_type(xx, float)), xx)
+    prob = jnp.exp(alpha * jnp.log(safe_x) + _powerlaw_log_norm(alpha, low, high))
+    return jnp.where(oob, floor, prob)
+
+
+def _norm_cdf(z):
+    return 0.5 * (1.0 + erf(z / jnp.sqrt(2.0)))
+
+
+def log_truncnorm_pdf(xx, mu, sig, low, high, log=False):
+    """Log-pdf of a truncated (log-)normal on ``[low, high]``.
+
+    ``log=True`` evaluates a truncated *lognormal* (the Gaussian lives in
+    ``log x``; the extra ``1/x`` Jacobian is included).  ``-inf`` outside.
+    """
+    if log:
+        safe_x = jnp.clip(xx, low, high)
+        u = jnp.log(safe_x)
+        lo, hi = jnp.log(low), jnp.log(high)
+        jac = -u  # d(log x)/dx = 1/x
+    else:
+        safe_x = jnp.clip(xx, low, high)
+        u = safe_x
+        lo, hi = low, high
+        jac = 0.0
+    denom = _norm_cdf((hi - mu) / sig) - _norm_cdf((lo - mu) / sig)
+    logp = (
+        -0.5 * ((u - mu) / sig) ** 2
+        - jnp.log(sig)
+        - 0.5 * jnp.log(2.0 * jnp.pi)
+        - jnp.log(denom)
+        + jac
+    )
+    oob = jnp.greater(xx, high) | jnp.less(xx, low)
+    return jnp.where(oob, -jnp.inf, logp)
+
+
+def truncnorm_pdf(xx, mu, sig, low, high, log=False):
+    """pdf of a truncated normal (``log=True`` -> truncated lognormal).
+
+    Parity: gwinferno/distributions.py:122-143.
+    """
+    if log:
+        safe_x = jnp.where(jnp.less_equal(xx, 0.0), low, xx)
+    else:
+        safe_x = xx
+    oob = jnp.greater(xx, high) | jnp.less(xx, low)
+    return jnp.where(oob, 0.0, jnp.exp(log_truncnorm_pdf(safe_x, mu, sig, low, high, log=log)))
+
+
+def log_betadist(xx, alpha, beta, scale=1.0, floor=-jnp.inf):
+    """Log-pdf of a Beta distribution stretched onto ``[0, scale]``."""
+    inb = jnp.less_equal(xx, scale) & jnp.greater_equal(xx, 0.0)
+    safe_x = jnp.clip(xx, 0.0, scale)
+    ln = (
+        (alpha - 1.0) * jnp.log(safe_x)
+        + (beta - 1.0) * jnp.log(scale - safe_x)
+        - (alpha + beta - 1.0) * jnp.log(scale)
+        - betaln(alpha, beta)
+    )
+    return jnp.where(inb, ln, floor)
+
+
+def betadist(xx, alpha, beta, scale=1.0, floor=0.0):
+    """pdf of a Beta distribution on ``[0, scale]``.
+
+    Parity: gwinferno/distributions.py:146-162.
+    """
+    inb = jnp.less_equal(xx, scale) & jnp.greater_equal(xx, 0.0)
+    return jnp.where(inb, jnp.exp(log_betadist(xx, alpha, beta, scale=scale)), floor)

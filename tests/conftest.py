@@ -1,0 +1,26 @@
+"""Test configuration.
+
+The ambient environment may inject a remote-TPU (axon) interpreter hook that
+forces ``jax_platforms="axon,cpu"`` at interpreter startup; with it active,
+every op runs over a network tunnel.  ``jax.config.update`` before first
+backend use reliably overrides it back to CPU.
+
+We run tests on CPU with 8 virtual devices (multi-chip sharding tests use a
+virtual mesh) and float64 enabled so scipy-oracle comparisons hold at tight
+tolerances.  The TPU bench path (bench.py) keeps the ambient platform.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+# make the repo root importable regardless of pytest rootdir resolution
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
