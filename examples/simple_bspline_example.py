@@ -1,0 +1,124 @@
+"""B-spline population analysis -- the reference's nonparametric config
+(examples/simple_bspline_example.py) on this framework, with the stale
+``surv_hypervolume_fct`` kwargs fixed (SURVEY.md S2.8).
+
+Run:  python examples/simple_bspline_example.py --pe-inj-file tests/data/pe_inj_file.h5 \
+          --m-nsplines 50 --q-nsplines 30 --a-nsplines 16 --tilt-nsplines 16 --z-nsplines 20
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from gwinferno_tpu import ppl  # noqa: E402
+from gwinferno_tpu.pipeline.analysis import hierarchical_likelihood  # noqa: E402
+from gwinferno_tpu.pipeline.utils import bspline_mass_prior  # noqa: E402
+from gwinferno_tpu.pipeline.utils import bspline_redshift_prior  # noqa: E402
+from gwinferno_tpu.pipeline.utils import bspline_spin_prior  # noqa: E402
+from gwinferno_tpu.pipeline.utils import load_base_parser  # noqa: E402
+from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict  # noqa: E402
+from gwinferno_tpu.pipeline.utils import pdf_dict_to_xarray  # noqa: E402
+from gwinferno_tpu.pipeline.utils import posterior_dict_to_xarray  # noqa: E402
+from gwinferno_tpu.postprocess.calculations import calculate_bspline_mass_ppds  # noqa: E402
+from gwinferno_tpu.postprocess.calculations import calculate_bspline_spin_ppds  # noqa: E402
+from gwinferno_tpu.postprocess.calculations import calculate_powerlaw_spline_rate_of_z_ppds  # noqa: E402
+from gwinferno_tpu.postprocess.plot import plot_mass_pdfs  # noqa: E402
+from gwinferno_tpu.postprocess.plot import plot_rate_of_z_pdfs  # noqa: E402
+from gwinferno_tpu.postprocess.plot import plot_spin_pdfs  # noqa: E402
+from gwinferno_tpu.ppl import distributions as dist  # noqa: E402
+
+from utils import run_bspline_analysis  # noqa: E402
+from utils import setup_result_dir  # noqa: E402
+
+
+def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names):
+    """B-spline mass/ratio/spins/redshift model (parity: reference
+    examples/simple_bspline_example.py:25-89)."""
+    n_m = mass_models.primary_model.n_splines
+    n_q = mass_models.ratio_model.n_splines
+    n_a = mag_model.primary_model.n_splines
+    n_ct = tilt_model.primary_model.n_splines
+    n_z = z_model.n_splines
+
+    mass_cs, q_cs = bspline_mass_prior(m_nsplines=n_m, q_nsplines=n_q, m_tau=1, q_tau=1)
+    a_cs, tilt_cs = bspline_spin_prior(a_nsplines=n_a, ct_nsplines=n_ct, a_tau=25, ct_tau=25, IID=True)
+    z_cs = bspline_redshift_prior(z_nsplines=n_z, z_tau=1)
+    lamb = ppl.sample("lamb", dist.Normal(0, 3))
+
+    def get_weights(datadict, pe_samples=True):
+        p_m1q = mass_models(mass_cs, q_cs, pe_samples=pe_samples)
+        p_a = mag_model(a_cs, pe_samples=pe_samples)
+        p_ct = tilt_model(tilt_cs, pe_samples=pe_samples)
+        p_z = z_model(datadict["redshift"], lamb, z_cs)
+        wts = p_m1q * p_a * p_ct * p_z / datadict["prior"]
+        return jnp.where(jnp.isnan(wts) | jnp.isinf(wts), 0.0, wts)
+
+    pe_weights = get_weights(pedict, pe_samples=True)
+    inj_weights = get_weights(injdict, pe_samples=False)
+
+    hierarchical_likelihood(
+        pe_weights,
+        inj_weights,
+        float(Ninj),
+        Nobs,
+        Tobs,
+        surveyed_hypervolume=z_model.normalization(lamb, z_cs),
+        param_names=param_names,
+        pedata=pedict,
+        injdata=injdict,
+        m2min=mmin,
+        m1min=mmin,
+        mmax=mmax,
+    )
+
+
+def main():
+    parser = load_base_parser()
+    args = parser.parse_args()
+
+    pedict, injdict, constants, param_names = load_pe_and_injections_as_dict(args.pe_inj_file)
+    label, result_dir = setup_result_dir(args, default_label="bspline")
+
+    posterior, models = run_bspline_analysis(model, pedict, injdict, constants, param_names, args)
+    posterior_ds = posterior_dict_to_xarray(dict(posterior))
+    posterior_ds.to_hdf5(result_dir + f"/{label}_posterior_samples.h5")
+    print(f"posteriors file saved: {result_dir}/{label}_posterior_samples.h5")
+
+    names = ["BSpline"]
+    colors = ["tab:blue"]
+    nspline_dict = {
+        "m1": args.m_nsplines, "q": args.q_nsplines,
+        "a": args.a_nsplines, "tilt": args.tilt_nsplines, "redshift": args.z_nsplines,
+    }
+
+    print("calculating mass ppds:")
+    mass, m1s, mass_ratio, qs = calculate_bspline_mass_ppds(
+        np.asarray(posterior["mass_cs"]), np.asarray(posterior["q_cs"]), nspline_dict, args.mmin, args.mmax
+    )
+    print("calculating spin ppds:")
+    apdfs, mags, ctpdfs, tilts = calculate_bspline_spin_ppds(
+        np.asarray(posterior["a_cs"]), np.asarray(posterior["tilt_cs"]), nspline_dict
+    )
+    print("calculating rate(z) ppds:")
+    r_of_z, zs = calculate_powerlaw_spline_rate_of_z_ppds(
+        np.asarray(posterior["lamb"]), np.asarray(posterior["z_cs"]), np.asarray(posterior["rate"]), models["z"]
+    )
+
+    print("plotting:")
+    plot_mass_pdfs([mass], [mass_ratio], m1s, qs, names, label, result_dir, save=args.save_plots, colors=colors)
+    plot_spin_pdfs([apdfs], [ctpdfs], mags, tilts, names, label, result_dir, save=args.save_plots, colors=colors)
+    plot_rate_of_z_pdfs(r_of_z, zs, label, result_dir, save=args.save_plots)
+
+    pdf_dict = {"a1": apdfs, "cos_tilt1": ctpdfs, "mass_1": mass, "mass_ratio": mass_ratio, "redshift": r_of_z}
+    param_dict = {"a1": mags, "cos_tilt1": tilts, "mass_1": m1s, "mass_ratio": qs, "redshift": zs}
+    pdf_dataset = pdf_dict_to_xarray(pdf_dict, param_dict, args.samples)
+    pdf_dataset.to_hdf5(result_dir + f"/{label}_pdfs.h5")
+    print(f"pdfs saved: {result_dir}/{label}_pdfs.h5")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Sequential Monte Carlo sampler with adaptive tempering.
+
+New capability beyond the reference (BASELINE.json configs[4]): anneals from
+a broad base distribution in unconstrained space to the full posterior
+``pi_beta ∝ q0^(1-beta) pi^beta``, choosing each temperature step by
+bisection on the effective sample size, with systematic resampling and
+random-walk-Metropolis mutation preconditioned on the particle covariance.
+
+TPU-first: the particle axis is a plain leading array axis -- under ``pjit``
+with particles sharded over a mesh, the reductions (ESS, covariance,
+resampling cumsum) lower to XLA collectives over ICI.  Everything runs in
+``lax.while_loop``/``scan``; one compile for the whole run.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from ..ppl.infer_util import _model_transforms
+from ..ppl.infer_util import potential_energy
+
+__all__ = ["SMC", "SMCResult"]
+
+
+class SMCResult(NamedTuple):
+    particles: dict  # constrained site values, leading axis = particles
+    log_weights: jax.Array
+    log_evidence: jax.Array
+    num_stages: jax.Array
+    final_acceptance: jax.Array
+
+
+def _systematic_resample(key, log_weights):
+    """Systematic resampling: one uniform, stratified comb over the CDF."""
+    n = log_weights.shape[0]
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    u = (jax.random.uniform(key) + jnp.arange(n)) / n
+    return jnp.searchsorted(cdf, u, side="right").clip(0, n - 1)
+
+
+def _ess(log_weights):
+    lw = log_weights - jax.scipy.special.logsumexp(log_weights)
+    return jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
+
+
+class SMC:
+    """Adaptive-tempering SMC over a model's unconstrained posterior.
+
+    Args:
+        model: PPL model callable.
+        num_particles: particle count (shard this axis on a mesh for scale).
+        num_mutation_steps: RWM mutation sweeps per temperature stage.
+        target_ess_frac: relative ESS target selecting each delta-beta.
+        base_scale: stddev of the N(0, scale) base distribution q0.
+        max_stages: static bound on temperature stages.
+    """
+
+    def __init__(
+        self,
+        model,
+        num_particles=1024,
+        num_mutation_steps=5,
+        target_ess_frac=0.5,
+        base_scale=2.0,
+        max_stages=100,
+        rwm_scale=None,
+    ):
+        self.model = model
+        self.num_particles = int(num_particles)
+        self.num_mutation_steps = int(num_mutation_steps)
+        self.target_ess_frac = float(target_ess_frac)
+        self.base_scale = float(base_scale)
+        self.max_stages = int(max_stages)
+        self.rwm_scale = rwm_scale
+
+    def run(self, rng_key, *model_args, **model_kwargs):
+        if isinstance(rng_key, int):
+            rng_key = jax.random.PRNGKey(rng_key)
+        transforms, discrete, tr = _model_transforms(self.model, model_args, model_kwargs)
+        if discrete:
+            raise ValueError(f"discrete sites {sorted(discrete)} unsupported in SMC mutation")
+        proto = {
+            name: jnp.zeros(t.unconstrained_shape(jnp.shape(tr[name]["value"])), dtype=jnp.result_type(float))
+            for name, t in transforms.items()
+        }
+        flat_proto, unravel = jax.flatten_util.ravel_pytree(proto)
+        dim = flat_proto.shape[0]
+        dtype = flat_proto.dtype
+        n = self.num_particles
+
+        def neg_log_post(z):
+            return potential_energy(self.model, model_args, model_kwargs, unravel(z))
+
+        s0 = self.base_scale
+
+        def neg_log_base(z):
+            return 0.5 * jnp.sum((z / s0) ** 2) + dim * jnp.log(s0)
+
+        batch_post = jax.vmap(neg_log_post)
+        batch_base = jax.vmap(neg_log_base)
+
+        key, k_init = jax.random.split(rng_key)
+        z = s0 * jax.random.normal(k_init, (n, dim), dtype)
+        pe_post = batch_post(z)
+        pe_post = jnp.where(jnp.isnan(pe_post), jnp.inf, pe_post)
+        pe_base = batch_base(z)
+
+        target_ess = self.target_ess_frac * n
+        rwm_scale0 = self.rwm_scale if self.rwm_scale is not None else 2.38 / jnp.sqrt(dim)
+
+        def incremental_logw(beta_new, beta_old):
+            # log [pi_new / pi_old] at current particles
+            return (beta_old - beta_new) * pe_post + (beta_new - beta_old) * pe_base
+
+        def choose_beta(beta_old):
+            """Bisect for the largest beta_new <= 1 with ESS >= target."""
+
+            def ess_at(b):
+                return _ess(incremental_logw(b, beta_old))
+
+            def cond(carry):
+                lo, hi, _ = carry
+                return (hi - lo) > 1e-5
+
+            def body(carry):
+                lo, hi, _ = carry
+                mid = 0.5 * (lo + hi)
+                ok = ess_at(mid) >= target_ess
+                return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), mid
+
+            full = ess_at(jnp.ones((), dtype)) >= target_ess
+            lo, hi, _ = jax.lax.while_loop(cond, body, (beta_old, jnp.ones((), dtype), beta_old))
+            return jnp.where(full, jnp.ones((), dtype), lo)
+
+        def temper_pe(beta, pe_post, pe_base):
+            return beta * pe_post + (1.0 - beta) * pe_base
+
+        def mutate(key, z, pe_post, pe_base, beta, scale):
+            """num_mutation_steps sweeps of preconditioned RWM at pi_beta."""
+            cov_chol = jnp.linalg.cholesky(
+                jnp.cov(z, rowvar=False).reshape(dim, dim) + 1e-8 * jnp.eye(dim, dtype=dtype)
+            )
+
+            def sweep(carry, key):
+                z, pe_post, pe_base, n_acc = carry
+                k1, k2 = jax.random.split(key)
+                eps = jax.random.normal(k1, z.shape, dtype)
+                prop = z + scale * (eps @ cov_chol.T)
+                prop_post = batch_post(prop)
+                prop_post = jnp.where(jnp.isnan(prop_post), jnp.inf, prop_post)
+                prop_base = batch_base(prop)
+                log_alpha = temper_pe(beta, pe_post, pe_base) - temper_pe(beta, prop_post, prop_base)
+                accept = jnp.log(jax.random.uniform(k2, (z.shape[0],), dtype)) < log_alpha
+                z = jnp.where(accept[:, None], prop, z)
+                pe_post = jnp.where(accept, prop_post, pe_post)
+                pe_base = jnp.where(accept, prop_base, pe_base)
+                return (z, pe_post, pe_base, n_acc + jnp.mean(accept)), None
+
+            keys = jax.random.split(key, self.num_mutation_steps)
+            (z, pe_post, pe_base, n_acc), _ = jax.lax.scan(sweep, (z, pe_post, pe_base, jnp.zeros((), dtype)), keys)
+            return z, pe_post, pe_base, n_acc / self.num_mutation_steps
+
+        def stage(carry):
+            z, pe_post, pe_base, beta, log_evid, key, stage_idx, acc = carry
+            beta_new = choose_beta(beta)
+            logw = incremental_logw(beta_new, beta)
+            log_evid = log_evid + jax.scipy.special.logsumexp(logw) - jnp.log(n * 1.0)
+            key, k_rs, k_mut = jax.random.split(key, 3)
+            idx = _systematic_resample(k_rs, logw)
+            z, pe_post, pe_base = z[idx], pe_post[idx], pe_base[idx]
+            z, pe_post, pe_base, acc = mutate(k_mut, z, pe_post, pe_base, beta_new, rwm_scale0)
+            return z, pe_post, pe_base, beta_new, log_evid, key, stage_idx + 1, acc
+
+        def cond(carry):
+            beta, stage_idx = carry[3], carry[6]
+            return (beta < 1.0) & (stage_idx < self.max_stages)
+
+        init = (
+            z, pe_post, pe_base,
+            jnp.zeros((), dtype), jnp.zeros((), dtype),
+            key, jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
+        )
+        z, pe_post, pe_base, beta, log_evid, key, num_stages, acc = jax.lax.while_loop(cond, stage, init)
+
+        constrained = jax.vmap(
+            lambda zf: {k: (transforms[k](v) if k in transforms else v) for k, v in unravel(zf).items()}
+        )(z)
+        return SMCResult(
+            particles=constrained,
+            log_weights=jnp.zeros(n, dtype),
+            log_evidence=log_evid,
+            num_stages=num_stages,
+            final_acceptance=acc,
+        )

@@ -1,0 +1,311 @@
+"""Hierarchical population likelihood with selection-effect correction.
+
+The Monte-Carlo importance-sampled hierarchical likelihood over per-event PE
+sample banks and found-injection sets -- semantic parity with
+gwinferno/pipeline/analysis.py:50-356, re-expressed on this framework's PPL
+and organized so the two hot reductions (per-event logsumexp over the sample
+axis, detection-efficiency logsumexp over the injection axis) are single
+fused XLA reductions that shard trivially over a device mesh
+(shard-local logsumexp + psum combine; SURVEY.md S2.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from .. import ppl
+from ..ppl import distributions as dist
+from ..infer import MCMC
+from ..infer import NUTS
+from ..infer import HMC
+from ..infer import find_map  # re-export parity (analysis.py:24-47)
+from .parser import PopMixtureModel
+from .parser import PopModel
+
+__all__ = [
+    "NP_KERNEL_MAP",
+    "find_map",
+    "per_event_log_bayes_factors",
+    "detection_efficiency",
+    "hierarchical_likelihood",
+    "construct_hierarchical_model",
+]
+
+NP_KERNEL_MAP = {"NUTS": NUTS, "HMC": HMC}
+
+
+@partial(jax.jit, static_argnames=["log"])
+def per_event_log_bayes_factors(weights, log=False):
+    r"""Per-event log Bayes factors by importance sampling over PE banks.
+
+    ``weights``: ``(N_events, N_samples)`` (log-weights when ``log=True``).
+    Returns ``(logBFs, log_n_effs, variances)``.
+    Parity: gwinferno/pipeline/analysis.py:50-88.
+    """
+    if log:
+        logweights = weights
+        logBFs = logsumexp(logweights, axis=1)
+        logn_effs = 2.0 * logBFs - logsumexp(2.0 * logweights, axis=1)
+        logBFs = logBFs - jnp.log(logweights.shape[1])
+    else:
+        BFs = jnp.sum(weights, axis=1)
+        n_effs = BFs**2 / jnp.sum(weights**2, axis=1)
+        BFs = BFs / weights.shape[1]
+        logBFs = jnp.log(BFs)
+        logn_effs = jnp.log(n_effs)
+    variances = 1.0 / jnp.exp(logn_effs) - 1.0 / weights.shape[1]
+    return logBFs, logn_effs, variances
+
+
+@partial(jax.jit, static_argnames=["log"])
+def detection_efficiency(weights, Ninj, log=False):
+    r"""Detection efficiency mu (expected detected fraction) by importance
+    sampling over found injections, with its MC effective sample size.
+
+    ``weights``: ``(N_found,)``; ``Ninj``: total generated injections.
+    Returns ``(log_mu, log_n_eff, variance)``.
+    Parity: gwinferno/pipeline/analysis.py:91-136.
+    """
+    if log:
+        logweights = weights
+        logmu = logsumexp(logweights) - jnp.log(Ninj)
+        mu = jnp.exp(logmu)
+        var = jnp.sum(jnp.exp(logweights) ** 2) / Ninj**2 - mu**2 / Ninj
+        logn_eff = 2.0 * logmu - jnp.log(var)
+    else:
+        mu = jnp.sum(weights) / Ninj
+        var = jnp.sum(weights**2) / Ninj**2 - mu**2 / Ninj
+        logmu = jnp.log(mu)
+        logn_eff = 2.0 * logmu - jnp.log(var)
+    variance = 1.0 / jnp.exp(logn_eff) - 1.0 / Ninj
+    return logmu, logn_eff, variance
+
+
+def hierarchical_likelihood(
+    pe_weights,
+    inj_weights,
+    total_inj,
+    Nobs,
+    Tobs,
+    surveyed_hypervolume=None,
+    categorical=False,
+    marginal_qs=False,
+    indv_weights=None,
+    rngkey=None,
+    pop_frac=None,
+    reconstruct_rate=True,
+    marginalize_selection=False,
+    min_neff_cut=True,
+    max_variance_cut=False,
+    posterior_predictive_check=False,
+    param_names=None,
+    pedata=None,
+    injdata=None,
+    m2min=3.0,
+    m1min=5.0,
+    mmax=100.0,
+    log=False,
+):
+    """The centerpiece: importance-sampled hierarchical likelihood with rate
+    reconstruction, convergence cuts, and deterministic diagnostics.
+
+    Semantic parity with gwinferno/pipeline/analysis.py:139-356, including:
+    the Gamma(Nobs) rate reconstruction, selection-uncertainty
+    marginalization, the ``min_neff``/``max_variance`` likelihood walls (and
+    their mutual-exclusion rule), the full set of deterministic diagnostic
+    sites, and the fixed-key posterior-predictive draws.
+
+    Returns the reconstructed ``rate`` (or None).
+    """
+    if max_variance_cut and (marginalize_selection or min_neff_cut):
+        raise ValueError(
+            "max_variance_cut is True which requires marginalize_selection and "
+            "min_neff_cut to be False but got "
+            f"marginalize_selection = {marginalize_selection} "
+            f"and min_neff_cut = {min_neff_cut}",
+        )
+
+    rate = None
+    if categorical:
+        with ppl.plate("nObs", Nobs) as i:
+            Qs = ppl.sample(
+                "Qs",
+                dist.Categorical(probs=jnp.array(pop_frac)),
+                rng_key=rngkey,
+            ).reshape((-1, 1))
+            mix_pe_weights = jnp.where(Qs[i] == 0, pe_weights[0][i], pe_weights[1][i])
+            logBFs, logn_effs, variances = per_event_log_bayes_factors(mix_pe_weights, log=log)
+    else:
+        logBFs, logn_effs, variances = per_event_log_bayes_factors(pe_weights, log=log)
+
+    log_det_eff, logn_eff_inj, variance = detection_efficiency(inj_weights, total_inj, log=log)
+    ppl.deterministic("log_nEff_inj", logn_eff_inj)
+    ppl.deterministic("log_nEffs", logn_effs)
+    ppl.deterministic("logBFs", logBFs)
+    ppl.deterministic("detection_efficiency", jnp.exp(log_det_eff))
+    ppl.deterministic("variance_log_BFs", variances)
+    ppl.deterministic("variance_log_detection_efficiency", variance)
+
+    if reconstruct_rate:
+        total_vt = ppl.deterministic("surveyed_hypervolume", surveyed_hypervolume / 1.0e9 * Tobs)
+        unscaled_rate = ppl.sample("unscaled_rate", dist.Gamma(Nobs * 1.0))
+        rate = ppl.deterministic("rate", unscaled_rate / jnp.exp(log_det_eff) / total_vt)
+    if marginalize_selection:
+        log_det_eff = log_det_eff - (3.0 + Nobs) / (2.0 * jnp.exp(logn_eff_inj))
+    if min_neff_cut:
+        log_det_eff = jnp.where(
+            jnp.greater_equal(logn_eff_inj, jnp.log(4.0 * Nobs)),
+            log_det_eff,
+            jnp.inf,
+        )
+    sel = ppl.deterministic(
+        "selection_factor",
+        jnp.where(jnp.isinf(log_det_eff), jnp.nan_to_num(-jnp.inf), -Nobs * log_det_eff),
+    )
+    sumlogBFs = ppl.deterministic("sum_logBFs", jnp.sum(logBFs))
+    log_l = sel + sumlogBFs
+    log_l = ppl.deterministic(
+        "log_l",
+        jnp.where(jnp.isnan(log_l), jnp.nan_to_num(-jnp.inf), jnp.nan_to_num(log_l)),
+    )
+
+    if min_neff_cut:
+        min_n_effs = jnp.exp(jnp.min(jnp.nan_to_num(logn_effs)))
+        log_l = ppl.deterministic(
+            "neff_less_Nobs",
+            jnp.where(jnp.less_equal(min_n_effs, Nobs), jnp.nan_to_num(-jnp.inf), log_l),
+        )
+
+    variance = ppl.deterministic(
+        "variance_log_likelihood",
+        Nobs**2 * variance + variances.sum(),
+    )
+    if max_variance_cut:
+        log_l = ppl.deterministic(
+            "variance_less_1",
+            jnp.where(jnp.less_equal(variance, 1.0), log_l, jnp.nan_to_num(-jnp.inf)),
+        )
+
+    ppl.factor("log_likelihood", log_l)
+
+    if posterior_predictive_check:
+        if param_names is not None and injdata is not None and pedata is not None:
+            if log:
+                pe_weights = jnp.exp(pe_weights)
+                inj_weights = jnp.exp(inj_weights)
+            cond = jnp.less(pedata["mass_1"], m1min) | jnp.greater(pedata["mass_1"], mmax)
+            pe_weights = jnp.where(
+                cond | jnp.less(pedata["mass_1"] * pedata["mass_ratio"], m2min),
+                0.0,
+                pe_weights,
+            )
+            inj_weights = jnp.where(
+                jnp.less(injdata["mass_1"], m1min)
+                | jnp.greater(injdata["mass_1"], mmax)
+                | jnp.less(injdata["mass_1"] * injdata["mass_ratio"], m2min),
+                0.0,
+                inj_weights,
+            )
+            # fixed per-event keys: a reference quirk preserved for parity
+            # (analysis.py:340) -- PPC draws are deterministic given weights
+            for ev in range(Nobs):
+                k = jax.random.PRNGKey(ev)
+                k1, k2 = jax.random.split(k)
+                obs_idx = jax.random.choice(
+                    k1,
+                    pe_weights.shape[1],
+                    p=pe_weights[ev, :] / jnp.sum(pe_weights[ev, :]),
+                )
+                if marginal_qs:
+                    for i in range(len(indv_weights)):
+                        ppl.deterministic(
+                            f"cat_frac_subpop_{i + 1}_event_{ev}",
+                            indv_weights[i][ev, obs_idx] / pe_weights[ev, obs_idx],
+                        )
+                pred_idx = jax.random.choice(k2, inj_weights.shape[0], p=inj_weights / jnp.sum(inj_weights))
+                for p in param_names:
+                    ppl.deterministic(f"{p}_obs_event_{ev}", pedata[p][ev, obs_idx])
+                    ppl.deterministic(f"{p}_pred_event_{ev}", injdata[p][pred_idx])
+    return rate
+
+
+def construct_hierarchical_model(
+    model_dict,
+    prior_dict,
+    marginalize_selection=False,
+    min_neff_cut=True,
+    max_variance_cut=False,
+    posterior_predictive_check=True,
+):
+    """Build a PPL model closure from config-driven model/prior dicts.
+
+    Parity: gwinferno/pipeline/analysis.py:359-424 (hyperprior sampling,
+    mixture instantiation, iid aliasing, redshift z-grid special case, VT
+    from the redshift model's ``norm``).
+    """
+    source_param_names = [k for k in model_dict.keys()]
+    hyper_params = {k: None for k in prior_dict.keys()}
+    pop_models = {k: None for k in model_dict.keys()}
+
+    if "redshift" in pop_models.keys():
+        z_grid = jnp.linspace(1e-9, prior_dict["redshift_maximum"], 1000)
+
+    def model(samps, injs, Ninj, Nobs, Tobs):
+        for k, v in prior_dict.items():
+            try:
+                hyper_params[k] = ppl.sample(k, v.dist(**v.params))
+            except AttributeError:
+                hyper_params[k] = v
+        iid_mapping = {}
+        for k, v in model_dict.items():
+            if isinstance(v, PopMixtureModel):
+                components = [
+                    v.components[i](**{p: hyper_params[f"{k}_component_{i + 1}_{p}"] for p in v.component_params[i]})
+                    for i in range(len(v.components))
+                ]
+                mixing_dist = v.mixing_dist(**{p: hyper_params[f"{k}_mixture_dist_{p}"] for p in v.mixing_params})
+                pop_models[k] = v.model(mixing_dist, components)
+            elif isinstance(v, PopModel):
+                hps = {p: hyper_params[f"{k}_{p}"] for p in v.params}
+                if k == "redshift":
+                    hps["grid"] = z_grid
+                pop_models[k] = v.model(**hps)
+            elif isinstance(v, str):
+                iid_mapping[v] = k
+            else:
+                raise ValueError(f"Unknown model type: {type(v)}:{v}")
+        for shared_param, param in iid_mapping.items():
+            pop_models[shared_param] = pop_models[param]
+
+        inj_weights = jnp.sum(
+            jnp.array([pop_models[k].log_prob(injs[k]) for k in source_param_names]), axis=0
+        ) - jnp.log(injs["prior"])
+        pe_weights = jnp.sum(
+            jnp.array([pop_models[k].log_prob(samps[k]) for k in source_param_names]), axis=0
+        ) - jnp.log(samps["prior"])
+
+        hierarchical_likelihood(
+            pe_weights,
+            inj_weights,
+            total_inj=Ninj,
+            Nobs=Nobs,
+            Tobs=Tobs,
+            surveyed_hypervolume=pop_models["redshift"].norm,
+            marginalize_selection=marginalize_selection,
+            min_neff_cut=min_neff_cut,
+            max_variance_cut=max_variance_cut,
+            posterior_predictive_check=posterior_predictive_check,
+            pedata=samps,
+            injdata=injs,
+            param_names=source_param_names,
+            m1min=2.0,
+            m2min=2.0,
+            mmax=100.0,
+            log=True,
+        )
+
+    return model

@@ -24,3 +24,32 @@ jax.config.update("jax_enable_x64", True)
 
 # make the repo root importable regardless of pytest rootdir resolution
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import subprocess  # noqa: E402
+
+import pytest  # noqa: E402
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def ensure_test_data():
+    """Generate the synthetic injection bank + handoff artifact if absent."""
+    target = os.path.join(_DATA_DIR, "pe_inj_file.h5")
+    if not os.path.exists(target):
+        subprocess.run(
+            [sys.executable, os.path.join(_DATA_DIR, "make_synthetic_injections.py")],
+            check=True,
+        )
+    return target
+
+
+@pytest.fixture(scope="session")
+def pe_inj_file():
+    return ensure_test_data()
+
+
+@pytest.fixture(scope="session")
+def injections_file():
+    ensure_test_data()
+    return os.path.join(_DATA_DIR, "injections.h5")

@@ -1,0 +1,141 @@
+"""Sampler validation against analytic posteriors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gwinferno_tpu import ppl
+from gwinferno_tpu.infer import HMC
+from gwinferno_tpu.infer import MCMC
+from gwinferno_tpu.infer import NUTS
+from gwinferno_tpu.infer import SMC
+from gwinferno_tpu.infer import find_map
+from gwinferno_tpu.infer.diagnostics import effective_sample_size, split_rhat
+from gwinferno_tpu.ppl import distributions as dist
+
+
+def std_normal_model():
+    ppl.sample("x", dist.Normal(jnp.zeros(3), jnp.ones(3)))
+
+
+def correlated_gaussian_model():
+    x = ppl.sample("x", dist.Normal(0.0, 1.0))
+    ppl.sample("y", dist.Normal(0.9 * x, jnp.sqrt(1 - 0.81)))
+
+
+def conjugate_model(data):
+    # mu ~ N(0, 10); data | mu ~ N(mu, 1)  => analytic Gaussian posterior
+    mu = ppl.sample("mu", dist.Normal(0.0, 10.0))
+    sigma = ppl.sample("sigma", dist.HalfNormal(5.0))
+    ppl.sample("obs", dist.Normal(mu, sigma), obs=data)
+
+
+def test_nuts_std_normal_moments():
+    mcmc = MCMC(NUTS(std_normal_model), num_warmup=300, num_samples=800, num_chains=2)
+    mcmc.run(jax.random.PRNGKey(0))
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert x.shape == (1600, 3)
+    assert np.all(np.abs(x.mean(0)) < 0.12)
+    assert np.all(np.abs(x.std(0) - 1.0) < 0.12)
+    extra = mcmc.get_extra_fields()
+    assert int(np.asarray(extra["diverging"]).sum()) == 0
+    assert float(np.asarray(extra["accept_prob"]).mean()) > 0.6
+
+
+def test_nuts_correlated_gaussian_dense_mass():
+    mcmc = MCMC(
+        NUTS(correlated_gaussian_model, dense_mass=True),
+        num_warmup=500,
+        num_samples=1000,
+        num_chains=2,
+    )
+    mcmc.run(jax.random.PRNGKey(1))
+    s = mcmc.get_samples()
+    x, y = np.asarray(s["x"]), np.asarray(s["y"])
+    corr = np.corrcoef(x, y)[0, 1]
+    assert abs(corr - 0.9) < 0.06
+    assert abs(x.std() - 1.0) < 0.12
+
+
+def test_nuts_conjugate_posterior():
+    true_mu, true_sigma = 1.7, 0.8
+    data = true_mu + true_sigma * jax.random.normal(jax.random.PRNGKey(42), (200,))
+    mcmc = MCMC(NUTS(conjugate_model), num_warmup=400, num_samples=800, num_chains=2)
+    mcmc.run(jax.random.PRNGKey(2), data)
+    s = mcmc.get_samples()
+    mu, sigma = np.asarray(s["mu"]), np.asarray(s["sigma"])
+    assert np.all(sigma > 0)
+    # posterior concentrates near truth at n=200
+    assert abs(mu.mean() - float(data.mean())) < 0.05
+    assert abs(sigma.mean() - float(data.std())) < 0.1
+    # convergence diagnostics healthy
+    mu_bychain = np.asarray(mcmc.get_samples(group_by_chain=True)["mu"])
+    assert split_rhat(mu_bychain[:, :, ]) < 1.05
+    assert effective_sample_size(mu_bychain) > 200
+
+
+def test_hmc_std_normal():
+    mcmc = MCMC(HMC(std_normal_model, trajectory_length=1.5), num_warmup=300, num_samples=600, num_chains=2)
+    mcmc.run(jax.random.PRNGKey(3))
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert np.all(np.abs(x.mean(0)) < 0.2)
+    assert np.all(np.abs(x.std(0) - 1.0) < 0.2)
+
+
+def test_collective_adaptation_matches():
+    mcmc = MCMC(
+        NUTS(std_normal_model),
+        num_warmup=300,
+        num_samples=500,
+        num_chains=4,
+        collective_adaptation=True,
+    )
+    mcmc.run(jax.random.PRNGKey(4))
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert np.all(np.abs(x.mean(0)) < 0.15)
+    ss = np.asarray(mcmc._adapt_info["step_size"])
+    assert ss.shape == (4,)
+    assert np.all(ss > 0)
+
+
+def test_deterministic_recompute():
+    def m():
+        x = ppl.sample("x", dist.Normal())
+        ppl.deterministic("x2", x * 2.0)
+
+    mcmc = MCMC(NUTS(m), num_warmup=100, num_samples=100)
+    mcmc.run(jax.random.PRNGKey(5))
+    det = mcmc.get_deterministic()
+    x = np.asarray(mcmc.get_samples()["x"])
+    np.testing.assert_allclose(np.asarray(det["x2"]), 2 * x, rtol=1e-12)
+
+
+def test_find_map_gaussian():
+    data = jnp.array([1.0, 1.4, 0.9, 1.2])
+
+    def m(data):
+        mu = ppl.sample("mu", dist.Normal(0.0, 100.0))
+        ppl.sample("obs", dist.Normal(mu, 1.0), obs=data)
+
+    params = find_map(jax.random.PRNGKey(0), m, data, Niter=500, lr=0.05)
+    assert abs(float(params["mu"]) - float(data.mean())) < 0.02
+
+
+def test_smc_gaussian_moments():
+    smc = SMC(correlated_gaussian_model, num_particles=2000, num_mutation_steps=5)
+    res = smc.run(jax.random.PRNGKey(0))
+    x = np.asarray(res.particles["x"])
+    y = np.asarray(res.particles["y"])
+    assert abs(x.mean()) < 0.15
+    assert abs(x.std() - 1.0) < 0.15
+    assert abs(np.corrcoef(x, y)[0, 1] - 0.9) < 0.1
+    assert int(res.num_stages) >= 1
+    assert np.isfinite(float(res.log_evidence))
+
+
+def test_ess_of_iid_draws():
+    x = np.random.default_rng(0).normal(size=(2, 2000))
+    ess = effective_sample_size(x)
+    assert 2500 < ess < 5500
+    assert split_rhat(x) < 1.01
