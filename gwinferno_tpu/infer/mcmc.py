@@ -155,7 +155,7 @@ class MCMC:
 
     # ------------------------------------------------------------------ run
 
-    def run(self, rng_key, *model_args, init_params=None, **model_kwargs):
+    def run(self, rng_key, *model_args, init_params=None, post_warmup_state=None, **model_kwargs):
         if isinstance(rng_key, int):
             rng_key = jax.random.PRNGKey(rng_key)
         potential_fn, unravel, transforms, flat_proto = self._setup(model_args, model_kwargs)
@@ -254,7 +254,16 @@ class MCMC:
             )
             return (state, da, wf, mm, key), state.accept_prob
 
-        if self.num_warmup > 0:
+        if post_warmup_state is not None:
+            # resume: skip warmup, restore chain + adaptation state
+            state = jax.tree.map(jnp.asarray, post_warmup_state["state"])
+            if not isinstance(state, type(state0)):
+                state = type(state0)(*state)
+            mm = MassMatrix(jnp.asarray(post_warmup_state["inverse_mass_matrix"]),
+                            jnp.asarray(post_warmup_state["mass_chol"]))
+            step_size = jnp.asarray(post_warmup_state["step_size"])
+            key_samp = jnp.asarray(post_warmup_state.get("rng_key", key_samp))
+        elif self.num_warmup > 0:
             xs = (
                 jnp.asarray(window_end),
                 jnp.asarray(in_slow),
@@ -292,6 +301,13 @@ class MCMC:
             collected = jax.tree.map(lambda x: x[self.thinning - 1 :: self.thinning], collected)
 
         self._last_state = state
+        self.post_warmup_state = {
+            "state": tuple(state),
+            "inverse_mass_matrix": mm.inverse,
+            "mass_chol": mm.mass_chol,
+            "step_size": step_size,
+            "rng_key": jax.random.fold_in(key_samp, total),
+        }
         self._collected_z = collected.pop("z")  # (num_samples, chains, dim)
         self._extra = collected
         self._samples = None
