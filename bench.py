@@ -76,7 +76,7 @@ def make_model(pedict, injdict, constants, z_model):
             Tobs=constants["obs_time"],
             surveyed_hypervolume=z_model.normalization(lamb),
             marginalize_selection=False,
-            min_neff_cut=False,
+            min_neff_cut=True,
         )
 
     return model

@@ -222,7 +222,6 @@ def convert_component_spins_to_chieff(dat_array, param_names, injections=False):
     from .conversions import chieff_from_q_component_spins as _chieff
     from .conversions import chip_from_q_component_spins as _chip
     from .priors import chi_effective_prior_from_isotropic_spins
-    from .priors import joint_prior_from_isotropic_spins
 
     want_chip = "chi_p" in param_names
 
@@ -242,9 +241,18 @@ def convert_component_spins_to_chieff(dat_array, param_names, injections=False):
 
     spin_mag_jac = (2 * np.pi * a_1**2) * (2 * np.pi * a_2**2)
     if want_chip:
-        flat = [x.ravel() for x in (chi_p, chi_eff, q)]
-        joint = joint_prior_from_isotropic_spins(*flat).reshape(chi_eff.shape)
-        new_prior = prior / spin_mag_jac * joint
+        # joint prior p(chi_eff|q) * p(chi_p|chi_eff,q): the conditional term
+        # uses the native (C++/OpenMP) batched KDE when available
+        from .native import chi_p_prior_given_chi_eff_q_batch
+
+        shape = chi_eff.shape
+        p_eff = np.real(
+            chi_effective_prior_from_isotropic_spins(chi_eff.ravel(), q.ravel())
+        ).reshape(shape)
+        p_cp = chi_p_prior_given_chi_eff_q_batch(
+            chi_p.ravel(), chi_eff.ravel(), q.ravel()
+        ).reshape(shape)
+        new_prior = prior / spin_mag_jac * p_eff * p_cp
     else:
         shape = chi_eff.shape
         p_eff = np.real(
