@@ -57,6 +57,11 @@ def run_inference(config_file, inspect=False, rng_seed=0):
     mcmc.print_summary()
 
     os.makedirs(reader.outdir, exist_ok=True)
+    from ..postprocess.plot import plot_trace
+
+    trace_path = plot_trace(mcmc.get_samples(group_by_chain=True), label=reader.label, result_dir=reader.outdir)
+    if trace_path:
+        print(f"trace plot saved: {trace_path}")
     posterior = dict(mcmc.get_samples())
     posterior.update(mcmc.get_deterministic(site_names={"rate", "surveyed_hypervolume", "detection_efficiency", "log_nEff_inj"}))
     ds = posterior_dict_to_xarray(posterior)

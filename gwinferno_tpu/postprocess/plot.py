@@ -12,7 +12,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
-__all__ = ["plot_pdf", "plot_mass_pdfs", "plot_spin_pdfs", "plot_rate_of_z_pdfs"]
+__all__ = ["plot_pdf", "plot_mass_pdfs", "plot_spin_pdfs", "plot_rate_of_z_pdfs", "plot_trace"]
 
 
 def plot_pdf(x, pdf, label, color="blue", loglog=True, alpha=1.0):
@@ -87,3 +87,28 @@ def plot_rate_of_z_pdfs(z_pdfs, z, label, result_dir, save=True):
     if save:
         plt.savefig(result_dir + f"/redshift_pdf_{label}.png", dpi=100)
     plt.close()
+
+
+def plot_trace(samples_by_chain, label="run", result_dir=".", save=True, max_params=30):
+    """Per-parameter trace + marginal-histogram grid (the reference CLI's
+    arviz trace plot, bin/gwinferno_run_from_config.py:74-77)."""
+    names = [k for k, v in samples_by_chain.items() if np.asarray(v).ndim == 2][:max_params]
+    n = len(names)
+    if n == 0:
+        return None
+    fig, axes = plt.subplots(n, 2, figsize=(10, 2.2 * n), squeeze=False)
+    for i, name in enumerate(names):
+        arr = np.asarray(samples_by_chain[name])  # (chains, draws)
+        for c in range(arr.shape[0]):
+            axes[i, 0].hist(arr[c], bins=40, histtype="step", density=True)
+            axes[i, 1].plot(arr[c], lw=0.5, alpha=0.8)
+        axes[i, 0].set_ylabel(name, fontsize=8)
+        axes[i, 0].tick_params(labelsize=7)
+        axes[i, 1].tick_params(labelsize=7)
+    fig.tight_layout()
+    if save:
+        path = result_dir + f"/trace_{label}.png"
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        return path
+    return fig
