@@ -93,7 +93,10 @@ class Powerlaw(Distribution):
     (parity: :101-153)."""
 
     def __init__(self, alpha, minimum=0.0, maximum=1.0, low=0.0, high=1.0):
-        self.alpha, self.minimum, self.maximum = alpha, minimum, maximum
+        # as jnp values so the alpha == -1 branch stays an array select
+        # (python-float arithmetic would raise ZeroDivisionError)
+        self.alpha = jnp.asarray(alpha)
+        self.minimum, self.maximum = jnp.asarray(minimum), jnp.asarray(maximum)
         super().__init__(jnp.broadcast_shapes(jnp.shape(minimum), jnp.shape(maximum), jnp.shape(alpha)))
         self.support = constraints.interval(low, high)
 
@@ -103,7 +106,11 @@ class Powerlaw(Distribution):
     def log_prob(self, value):
         logp = self.alpha * jnp.log(value)
         logp = logp + jnp.log((1.0 + self.alpha) / (self.maximum ** (1.0 + self.alpha) - self.minimum ** (1.0 + self.alpha)))
-        logp_neg1 = -jnp.log(value) - jnp.log(self.maximum / self.minimum)
+        # alpha == -1: p(x) = 1 / (x ln(max/min)).  NB the reference adapter
+        # drops the outer log here (numpyro_distributions.py:131), which is
+        # inconsistent with its own cdf (:142) and with distributions.py:112;
+        # we implement the intended normalization.
+        logp_neg1 = -jnp.log(value) - jnp.log(jnp.log(self.maximum / self.minimum))
         return jnp.where(
             jnp.less(value, self.minimum) | jnp.greater(value, self.maximum),
             jnp.nan_to_num(-jnp.inf),
@@ -181,21 +188,20 @@ class PowerlawSmoothedPowerlaw(Distribution):
             )
         )
         self.support = constraints.interval(low, high)
-        gamma = (self.alpha_min + 1) / (self.minimum ** (self.alpha_min + 1) - self.low ** (self.alpha_min + 1))
-        self.k1 = -gamma / (
-            1
-            + gamma
-            / (self.alpha + 1)
-            * self.minimum ** (self.alpha_min - self.alpha)
-            * (self.minimum ** (self.alpha + 1) - self.maximum ** (self.alpha + 1))
-            + gamma
-            / (self.alpha_max + 1)
-            * self.minimum ** (self.alpha_min - self.alpha)
-            * self.maximum ** (self.alpha - self.alpha_max)
-            * (self.maximum ** (self.alpha_max + 1) - self.high ** (self.alpha_max + 1))
-        )
-        self.k2 = self.k1 * self.minimum ** (self.alpha_min - self.alpha)
-        self.k3 = self.k2 * self.maximum ** (self.alpha - self.alpha_max)
+        # continuity constants k1/k2/k3 with exact normalization:
+        #   I = k1 [ I_low + r_mid I_mid + r_mid r_high I_high ] = 1
+        # NB the reference's constants (numpyro_distributions.py:221-235)
+        # carry a sign error and integrate to != 1 for rising low slopes;
+        # the corrected closed form is used here (its cdf-free structure,
+        # segment continuity, and log_prob branch layout are preserved).
+        r_mid = self.minimum ** (self.alpha_min - self.alpha)
+        r_high = self.maximum ** (self.alpha - self.alpha_max)
+        seg_low = (self.minimum ** (self.alpha_min + 1) - self.low ** (self.alpha_min + 1)) / (self.alpha_min + 1)
+        seg_mid = (self.maximum ** (self.alpha + 1) - self.minimum ** (self.alpha + 1)) / (self.alpha + 1)
+        seg_high = (self.high ** (self.alpha_max + 1) - self.maximum ** (self.alpha_max + 1)) / (self.alpha_max + 1)
+        self.k1 = 1.0 / (seg_low + r_mid * seg_mid + r_mid * r_high * seg_high)
+        self.k2 = self.k1 * r_mid
+        self.k3 = self.k2 * r_high
 
     def sample(self, key, sample_shape=()):
         return jnp.ones(tuple(sample_shape) + self.batch_shape)
