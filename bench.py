@@ -21,6 +21,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 WARMUP, SAMPLES = 200, 200
+N_CHAINS = 16
 MMIN, MMAX = 5.0, 100.0
 
 
@@ -96,7 +97,7 @@ def run_once(model, seed):
     from gwinferno_tpu.infer import MCMC, NUTS
 
     init = {k: jnp.asarray(v) for k, v in FIDUCIAL_INIT.items()}
-    mcmc = MCMC(NUTS(model), num_warmup=WARMUP, num_samples=SAMPLES, num_chains=1)
+    mcmc = MCMC(NUTS(model), num_warmup=WARMUP, num_samples=SAMPLES, num_chains=N_CHAINS)
     t0 = time.time()
     mcmc.run(jax.random.PRNGKey(seed), init_params=init)
     jax.block_until_ready(mcmc._collected_z)
@@ -140,7 +141,7 @@ def main():
 
     platform = jax.devices()[0].platform
     result = {
-        "metric": "min-ESS/s, powerlaw+peak NUTS (69 evs x 1000 samps, 14 hyperparams, 200w+200s)",
+        "metric": "min-ESS/s, powerlaw+peak NUTS (69 evs x 1000 samps, 14 hyperparams, 200w+200s, 16 chains)",
         "value": round(value, 3),
         "unit": "effective samples/s/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,

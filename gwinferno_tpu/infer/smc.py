@@ -69,6 +69,8 @@ class SMC:
         base_scale=2.0,
         max_stages=100,
         rwm_scale=None,
+        mesh=None,
+        particle_axis="chain",
     ):
         self.model = model
         self.num_particles = int(num_particles)
@@ -77,6 +79,8 @@ class SMC:
         self.base_scale = float(base_scale)
         self.max_stages = int(max_stages)
         self.rwm_scale = rwm_scale
+        self.mesh = mesh
+        self.particle_axis = particle_axis
 
     def run(self, rng_key, *model_args, **model_kwargs):
         if isinstance(rng_key, int):
@@ -106,6 +110,14 @@ class SMC:
 
         key, k_init = jax.random.split(rng_key)
         z = s0 * jax.random.normal(k_init, (n, dim), dtype)
+        if self.mesh is not None:
+            # shard the particle axis over the mesh; XLA inserts the
+            # collectives for the ESS/covariance reductions and the
+            # resampling gather
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            z = jax.device_put(z, NamedSharding(self.mesh, P(self.particle_axis, None)))
         pe_post = batch_post(z)
         pe_post = jnp.where(jnp.isnan(pe_post), jnp.inf, pe_post)
         pe_base = batch_base(z)

@@ -20,12 +20,14 @@ from ..models.bsplines.separable import BSplineIIDSpinTilts
 from ..models.bsplines.separable import BSplineIndependentSpinMagnitudes
 from ..models.bsplines.separable import BSplineIndependentSpinTilts
 from ..models.bsplines.separable import BSplinePrimaryBSplineRatio
+from ..models.bsplines.single import BSplineRatio
 from ..models.parametric.parametric import mixture_isoalign_spin_tilt
 from ..models.parametric.parametric import plpeak_primary_ratio_pdf
 
 __all__ = [
     "calculate_bspline_mass_ppds",
     "calculate_powerlaw_peak_mass_ppds",
+    "calculate_peak_logm1_bspline_q_ppds",
     "calculate_beta_spin_mag",
     "calculate_mixture_iso_aligned_spin_tilt",
     "calculate_bspline_spin_ppds",
@@ -92,6 +94,31 @@ def calculate_powerlaw_peak_mass_ppds(alpha, beta, mu_peak, sig_peak, lamb, mmin
         one, jnp.asarray(alpha), jnp.asarray(beta), jnp.asarray(mu_peak), jnp.asarray(sig_peak),
         jnp.asarray(lamb), rate, pop_frac,
     )
+    return mpdfs, np.asarray(ms), qpdfs, np.asarray(qs)
+
+
+def calculate_peak_logm1_bspline_q_ppds(logmp, logsigp, q_cs, nspline_dict, mmin, mmax, rate=None, pop_frac=None):
+    """Lognormal-peak primary mass x B-spline mass ratio PPDs
+    (parity: calculations.py:94-130)."""
+    from ..distributions import truncnorm_pdf
+
+    ms = jnp.linspace(mmin, mmax, GRID_N)
+    qs = jnp.linspace(mmin / mmax, 1, GRID_N)
+    M, Q = jnp.meshgrid(ms, qs)
+    n = np.shape(q_cs)[0]
+    rate = jnp.ones(n) if rate is None else jnp.asarray(rate)
+    pop_frac = jnp.ones(n) if pop_frac is None else jnp.asarray(pop_frac)
+
+    q_model = BSplineRatio(nspline_dict["q"], Q, qs, mmin / mmax, basis=LogYBSpline)
+
+    def one(lmp, lsp, q_c, r, f):
+        p_mq = q_model(q_c, pe_samples=True) * truncnorm_pdf(M, lmp, lsp, mmin, mmax, log=True)
+        p_mq = jnp.where(jnp.less(M, mmin) | jnp.less(M * Q, mmin), 0.0, p_mq)
+        p_m = trapezoid(p_mq, qs, axis=0)
+        p_q = trapezoid(p_mq, ms, axis=1)
+        return r * f * p_m / trapezoid(p_m, ms), r * f * p_q / trapezoid(p_q, qs)
+
+    mpdfs, qpdfs = _batched(one, jnp.asarray(logmp), jnp.asarray(logsigp), jnp.asarray(q_cs), rate, pop_frac)
     return mpdfs, np.asarray(ms), qpdfs, np.asarray(qs)
 
 
