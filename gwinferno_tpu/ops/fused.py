@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
+try:  # pallas imports are module-level for the TPU path; harmless on CPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pl = pltpu = None
+
 __all__ = ["fused_logweight_logsumexp", "fused_logweight_logsumexp_xla", "logsumexp_rows"]
 
 
@@ -46,76 +52,104 @@ def fused_logweight_logsumexp_xla(coefs, design, neg_log_prior, n_events, n_samp
     return logBF - jnp.log(n_samples * 1.0), log_neff
 
 
-def _fused_kernel(coefs_ref, design_ref, nlp_ref, logbf_ref, logneff_ref, *, n_samples):
-    """One grid step: all chains x one event-tile.
+def _fused_kernel(coefs_ref, design_ref, nlp_ref, logbf_ref, logneff_ref, m_acc, s1_acc, s2_acc, *, event_tile):
+    """Grid step (i, j): all chains x ``event_tile`` events x one sample chunk.
 
-    Block shapes: coefs (C, K); design (K, S_tile*E_tile); nlp (E_tile, S_tile)
-    flattened as (E_tile * S_tile,) view -- we keep (E_tile, S_tile) layout.
+    Blocks: coefs (C, K); design (K, event_tile, S_CHUNK) slice of the 3-D
+    (K, E_pad, S_pad) layout; nlp (event_tile, S_CHUNK); outputs
+    (event_tile, C) slices written on the last chunk.  Chunks accumulate an
+    online (max, sum, sum-of-squares) in VMEM scratch -- the flash-attention
+    pattern applied to the importance-weight reductions.
     """
+    j = pl.program_id(1)
     c = coefs_ref[:]  # (C, K)
-    d = design_ref[:]  # (K, T) with T = E_tile * n_samples
-    logw = jax.lax.dot_general(
-        c, d, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (C, T)
-    logw = logw + nlp_ref[:][None, :]
-    C = logw.shape[0]
-    e_tile = logw.shape[1] // n_samples
-    logw = logw.reshape(C, e_tile, n_samples)
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w1 = jnp.exp(logw - m)
-    s1 = jnp.sum(w1, axis=-1)
-    s2 = jnp.sum(w1 * w1, axis=-1)
-    logBF = m[..., 0] + jnp.log(s1)
-    log_neff = 2.0 * logBF - (2.0 * m[..., 0] + jnp.log(s2))
-    logbf_ref[:] = logBF - jnp.log(n_samples * 1.0)
-    logneff_ref[:] = log_neff
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, -jnp.inf)
+        s1_acc[:] = jnp.zeros_like(s1_acc)
+        s2_acc[:] = jnp.zeros_like(s2_acc)
+
+    for e in range(event_tile):
+        d = design_ref[:, e, :]  # (K, S_CHUNK)
+        logw = jax.lax.dot_general(
+            c, d, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + nlp_ref[e, :][None, :]  # (C, S_CHUNK)
+        m_new = jnp.maximum(m_acc[e, :], jnp.max(logw, axis=-1))
+        scale = jnp.exp(m_acc[e, :] - m_new)
+        w1 = jnp.exp(logw - m_new[:, None])
+        s1_acc[e, :] = s1_acc[e, :] * scale + jnp.sum(w1, axis=-1)
+        s2_acc[e, :] = s2_acc[e, :] * scale * scale + jnp.sum(w1 * w1, axis=-1)
+        m_acc[e, :] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        logBF = m_acc[:] + jnp.log(s1_acc[:])
+        logbf_ref[:] = logBF
+        logneff_ref[:] = 2.0 * logBF - (2.0 * m_acc[:] + jnp.log(s2_acc[:]))
 
 
-def fused_logweight_logsumexp(coefs, design, neg_log_prior, n_events, n_samples, event_tile=8, interpret=False):
+def fused_logweight_logsumexp(coefs, design, neg_log_prior, n_events, n_samples, event_tile=8, sample_chunk=1024, interpret=False):
     """Fused batched log-weight + per-event reductions as a Pallas TPU kernel.
 
     Falls back to the XLA reference when not on TPU.  Shapes as in
-    :func:`fused_logweight_logsumexp_xla`; ``n_events`` must be divisible by
-    ``event_tile`` (callers pad the event axis -- logBF rows of padded events
-    are garbage and must be sliced off).
+    :func:`fused_logweight_logsumexp_xla`.  The sample axis is padded to a
+    lane multiple and streamed in ``sample_chunk`` pieces with online
+    max/sum accumulation, so arbitrarily large banks fit in VMEM.
     """
     platform = jax.devices()[0].platform
     if platform not in ("tpu",) and not interpret:
         return fused_logweight_logsumexp_xla(coefs, design, neg_log_prior, n_events, n_samples)
 
-    from jax.experimental import pallas as pl
+    from jax.experimental import pallas as pl  # noqa: F811
 
     C, K = coefs.shape
     E, S = n_events, n_samples
     assert design.shape == (K, E * S), (design.shape, (K, E * S))
-    if E % event_tile:
-        pad = event_tile - E % event_tile
-        design = jnp.pad(design, ((0, 0), (0, pad * S)))
-        neg_log_prior = jnp.pad(neg_log_prior, (0, pad * S), constant_values=-jnp.inf)
-        E = E + pad
-    T = event_tile * S
 
-    grid = (E // event_tile,)
+    LANE = 128
+    S_pad = -(-S // LANE) * LANE
+    E_pad = -(-E // event_tile) * event_tile
+    chunk = min(sample_chunk, S_pad)
+    S_pad = -(-S_pad // chunk) * chunk  # multiple of chunk
+
+    d3 = design.reshape(K, E, S)
+    nlp2 = neg_log_prior.reshape(E, S)
+    if S_pad != S:
+        d3 = jnp.pad(d3, ((0, 0), (0, 0), (0, S_pad - S)))
+        nlp2 = jnp.pad(nlp2, ((0, 0), (0, S_pad - S)), constant_values=-jnp.inf)
+    if E_pad != E:
+        d3 = jnp.pad(d3, ((0, 0), (0, E_pad - E), (0, 0)))
+        nlp2 = jnp.pad(nlp2, ((0, E_pad - E), (0, 0)), constant_values=-jnp.inf)
+
+    grid = (E_pad // event_tile, S_pad // chunk)
     out_shape = (
-        jax.ShapeDtypeStruct((C, E), coefs.dtype),
-        jax.ShapeDtypeStruct((C, E), coefs.dtype),
+        jax.ShapeDtypeStruct((E_pad, C), coefs.dtype),
+        jax.ShapeDtypeStruct((E_pad, C), coefs.dtype),
     )
-    logBF, log_neff = pl.pallas_call(
-        functools.partial(_fused_kernel, n_samples=S),
+    logBF_t, log_neff_t = pl.pallas_call(
+        functools.partial(_fused_kernel, event_tile=event_tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((C, K), lambda i: (0, 0)),
-            pl.BlockSpec((K, T), lambda i: (0, i)),
-            pl.BlockSpec((T,), lambda i: (i,)),
+            pl.BlockSpec((C, K), lambda i, j: (0, 0)),
+            pl.BlockSpec((K, event_tile, chunk), lambda i, j: (0, i, j)),
+            pl.BlockSpec((event_tile, chunk), lambda i, j: (i, j)),
         ],
         out_specs=(
-            pl.BlockSpec((C, event_tile), lambda i: (0, i)),
-            pl.BlockSpec((C, event_tile), lambda i: (0, i)),
+            pl.BlockSpec((event_tile, C), lambda i, j: (i, 0)),
+            pl.BlockSpec((event_tile, C), lambda i, j: (i, 0)),
         ),
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((event_tile, C), jnp.float32),
+            pltpu.VMEM((event_tile, C), jnp.float32),
+            pltpu.VMEM((event_tile, C), jnp.float32),
+        ],
         interpret=interpret,
-    )(coefs, design, neg_log_prior)
-    return logBF[:, :n_events], log_neff[:, :n_events]
+    )(coefs, d3, nlp2)
+    logBF = logBF_t.T[:, :E] - jnp.log(S * 1.0)
+    log_neff = log_neff_t.T[:, :E]
+    return logBF, log_neff
 
 
 def logsumexp_rows(x, interpret=False, block=1024):
@@ -164,3 +198,42 @@ def logsumexp_rows(x, interpret=False, block=1024):
         interpret=interpret,
     )(x)
     return out
+
+
+def fused_bspline_per_event_log_bayes_factors(design_coef_pairs, neg_log_prior, n_events, n_samples, log_norms=None, **kwargs):
+    """High-level fused hot path for B-spline population models.
+
+    Stacks the per-parameter cached design matrices and coefficient vectors
+    into ONE ``(C, K_total) @ (K_total, E*S)`` contraction fused with the
+    per-event reductions -- the whole multi-parameter B-spline likelihood in
+    a single MXU pass.
+
+    Args:
+        design_coef_pairs: list of ``(design_matrix (K_i, E*S), coefs
+            (..., K_i))`` -- coefs may carry a leading chain-batch axis.
+        neg_log_prior: ``(E*S,)`` minus-log fiducial prior; bake sample
+            masks in as ``-inf`` entries.
+        log_norms: optional list of per-spline log-normalization scalars
+            (``(...,)``-shaped, chain-batched like coefs) added to the
+            log-weights.
+
+    Returns ``(logBFs, log_n_effs)``, each ``(C, E)`` (C=1 squeezed off when
+    coefs were unbatched).
+    """
+    unbatched = design_coef_pairs[0][1].ndim == 1
+    coefs = jnp.concatenate(
+        [jnp.atleast_2d(c) for _, c in design_coef_pairs], axis=-1
+    )  # (C, K_total)
+    design = jnp.concatenate([d for d, _ in design_coef_pairs], axis=0)  # (K_total, E*S)
+    if log_norms is not None:
+        total_log_norm = sum(jnp.atleast_1d(ln) for ln in log_norms)  # (C,)
+    else:
+        total_log_norm = 0.0
+    logBF, log_neff = fused_logweight_logsumexp(
+        coefs, design, neg_log_prior, n_events, n_samples, **kwargs
+    )
+    if log_norms is not None:
+        logBF = logBF + total_log_norm[:, None]
+    if unbatched:
+        return logBF[0], log_neff[0]
+    return logBF, log_neff

@@ -47,3 +47,43 @@ def test_logsumexp_rows_with_neginf():
     x = x.at[:, 0].set(jnp.arange(4, dtype=jnp.float32))
     got = logsumexp_rows(x, interpret=True, block=128)
     np.testing.assert_allclose(np.asarray(got), np.arange(4), atol=1e-6)
+
+
+def test_fused_bspline_helper_matches_model_composition(pe_inj_file):
+    """The fused stacked-matmul path equals composing the 1-D B-spline models
+    (log-weight level) on real catalog banks."""
+    import numpy as np
+
+    from gwinferno_tpu.models.bsplines.single import BSplineMass, BSplineRatio
+    from gwinferno_tpu.ops import fused_bspline_per_event_log_bayes_factors
+    from gwinferno_tpu.pipeline.analysis import per_event_log_bayes_factors
+    from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
+
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_file)
+    E, S = pedict["mass_1"].shape
+    m_model = BSplineMass(10, pedict["mass_1"], injdict["mass_1"], mmin=5.0, mmax=100.0)
+    q_model = BSplineRatio(6, pedict["mass_ratio"], injdict["mass_ratio"], qmin=0.05)
+    key = jax.random.PRNGKey(0)
+    m_cs = 0.2 * jax.random.normal(key, (10,))
+    q_cs = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (6,))
+
+    # model-composition path (linear)
+    p = m_model(m_cs) * q_model(q_cs) / pedict["prior"]
+    p = jnp.where(jnp.isnan(p) | jnp.isinf(p) | (p <= 0), 0.0, p)
+    want_logBF, want_logneff, _ = per_event_log_bayes_factors(jnp.log(p), log=True)
+
+    # fused path: stacked finite design matrices + masks in the log prior
+    def finite_dm(model):
+        dm = model.pe_design_matrix.reshape(model.pe_design_matrix.shape[0], -1)
+        return dm
+    mask = (m_model._valid_xx & q_model._valid_xx).reshape(-1)
+    nlp = jnp.where(mask, -jnp.log(pedict["prior"].reshape(-1)), -jnp.inf)
+    # log-normalizations of each spline are coefficient-dependent scalars
+    log_norm_m = jnp.log(m_model.interpolator.norm(m_cs))
+    log_norm_q = jnp.log(q_model.interpolator.norm(q_cs))
+    got_logBF, got_logneff = fused_bspline_per_event_log_bayes_factors(
+        [(finite_dm(m_model), m_cs), (finite_dm(q_model), q_cs)],
+        nlp, E, S, log_norms=[log_norm_m, log_norm_q],
+    )
+    np.testing.assert_allclose(np.asarray(got_logBF), np.asarray(want_logBF), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_logneff), np.asarray(want_logneff), rtol=1e-5, atol=1e-6)
