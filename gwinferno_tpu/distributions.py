@@ -106,14 +106,31 @@ def _powerlaw_log_norm(alpha, low, high):
     """log of the truncated-powerlaw normalization constant.
 
     Handles the ``alpha == -1`` measure-zero branch with a ``where`` select
-    (both branches evaluated on safe operands)."""
+    (both branches evaluated on safe operands).
+
+    The span ``|high^(1+a) - low^(1+a)|`` is evaluated in log space via
+    ``expm1``: per-sample bounds like ``low = mmin/m1`` approach (or, for
+    samples below mmin, cross) ``high``, and the direct difference cancels
+    catastrophically in float32 -- ``log(0) = -inf`` here turns into
+    ``exp(+inf)`` in the pdf and NaN gradients on TPU.  A dtype-eps clamp
+    keeps the norm finite for exactly-degenerate supports (such samples are
+    out-of-bounds and masked by the pdf's ``where``, but their *gradient*
+    path must stay finite)."""
     alpha = jnp.asarray(alpha, dtype=jnp.result_type(float))
     is_m1 = jnp.equal(alpha, -1.0)
     safe_alpha = jnp.where(is_m1, 0.0, alpha)
-    # generic branch: log[(1+a) / (high^(1+a) - low^(1+a))]
     ap1 = 1.0 + safe_alpha
-    generic = jnp.log(jnp.abs(ap1)) - jnp.log(jnp.abs(high**ap1 - low**ap1))
-    special = -jnp.log(jnp.log(high / low))
+    log_low = jnp.log(low)
+    log_high = jnp.log(high)
+    a = ap1 * log_high
+    b = ap1 * log_low
+    diff = jnp.abs(a - b)
+    eps = jnp.finfo(jnp.result_type(diff.dtype, jnp.float32)).eps
+    # |e^a - e^b| = e^max(a,b) * (1 - e^-|a-b|)
+    log_span = jnp.maximum(a, b) + jnp.log(-jnp.expm1(-jnp.maximum(diff, eps)))
+    generic = jnp.log(jnp.abs(ap1)) - log_span
+    # alpha == -1: 1/|log(high/low)|, clamped away from the degenerate zero
+    special = -jnp.log(jnp.maximum(jnp.abs(log_high - log_low), eps))
     return jnp.where(is_m1, special, generic)
 
 

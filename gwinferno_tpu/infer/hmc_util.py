@@ -237,7 +237,9 @@ def find_reasonable_step_size(potential_fn, mm: MassMatrix, z, key, init_step_si
     def cond(carry):
         step_size, direction, last_direction, _ = carry
         not_extreme = (step_size < 1e7) & (step_size > 1e-17)
-        return not_extreme & ((direction == 0) | (direction == last_direction))
+        # keep going while we haven't yet moved (last == 0) or the
+        # double/halve direction is unchanged; stop on the first flip
+        return not_extreme & ((last_direction == 0) | (direction == last_direction))
 
     def body(carry):
         step_size, direction, _, k = carry

@@ -172,3 +172,26 @@ def test_smc_sharded_particles():
     x = np.asarray(res.particles["x"])
     assert abs(x.mean()) < 0.2
     assert abs(x.std() - 1.0) < 0.2
+
+
+def test_find_reasonable_step_size_moves():
+    """Regression: the double/halve loop must actually iterate (a condition
+    bug made it return the initial step size after one evaluation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gwinferno_tpu.infer.hmc_util import find_reasonable_step_size, identity_mass_matrix
+
+    dim = 4
+    mm = identity_mass_matrix(dim, dtype=jnp.float64)
+    z = jnp.zeros(dim, jnp.float64)
+
+    # stiff target: unit step is far too large and must shrink
+    stiff = lambda x: 0.5 * jnp.sum((x / 1e-3) ** 2)
+    ss = float(find_reasonable_step_size(stiff, mm, z, jax.random.PRNGKey(0), init_step_size=1.0))
+    assert ss < 0.5, ss
+
+    # loose target: a tiny initial step must grow
+    loose = lambda x: 0.5 * jnp.sum((x / 10.0) ** 2)
+    ss = float(find_reasonable_step_size(loose, mm, z, jax.random.PRNGKey(0), init_step_size=1e-6))
+    assert ss > 1e-4, ss

@@ -64,6 +64,38 @@ def test_powerlaw_gradient_finite_outside_support():
     assert np.isfinite(g)
 
 
+def test_powerlaw_float32_degenerate_support_grad_finite():
+    """Regression: per-sample q-support ``[mmin/m1, 1]`` degenerates (or
+    inverts, for samples with m1 < mmin) in float32, and the normalization's
+    direct ``high^ap1 - low^ap1`` difference cancels to log(0) -> exp(+inf)
+    -> NaN gradients on TPU.  The log-space/expm1 norm must keep value AND
+    gradient finite through the out-of-bounds where-mask."""
+    import jax
+
+    m1 = jnp.asarray([2.0001, 5.0 + 1e-7, 5.0, 30.0, 80.0], jnp.float32)
+    q = jnp.asarray([0.9, 0.999, 1.0, 0.5, 0.2], jnp.float32)
+
+    def f(beta):
+        p = dist.powerlaw_pdf(q, beta, (5.0 / m1).astype(jnp.float32), jnp.float32(1.0))
+        return jnp.sum(jnp.where(jnp.isfinite(p), p, 0.0))
+
+    for beta in [-1.0, 0.0, 1.3]:
+        v, g = jax.value_and_grad(f)(jnp.float32(beta))
+        assert np.isfinite(v), beta
+        assert np.isfinite(g), beta
+
+
+def test_powerlaw_narrow_support_norm_precision():
+    # expm1 formulation keeps the norm accurate where the direct difference
+    # loses most of its bits (narrow but non-degenerate support)
+    low, high, alpha = 0.999999, 1.0, 1.3
+    x = jnp.asarray([0.9999995])
+    got = float(dist.powerlaw_pdf(x, alpha, low, high)[0])
+    ap1 = alpha + 1.0
+    want = ap1 * float(x[0]) ** alpha / (high**ap1 - low**ap1)
+    assert_allclose(got, want, rtol=1e-6)
+
+
 def test_truncnorm_pdf():
     x = jnp.linspace(-1, 1.2, 50)
     mu, sigma, lo, hi = 0.3, 1.4, -0.8, 1.0
