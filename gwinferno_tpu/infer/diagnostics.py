@@ -29,6 +29,9 @@ def effective_sample_size(x):
     if x.ndim == 1:
         x = x[None]
     m, n = x.shape
+    if np.all(x == x[:, :1]):
+        # every chain constant = a stuck sampler, not perfect mixing
+        return 0.0
     if n < 4:
         return float(m * n)
     acov = _autocovariance(x.T)  # (n, m)
@@ -37,7 +40,9 @@ def effective_sample_size(x):
     if m > 1:
         var_plus += x.mean(axis=1).var(ddof=1)
     if var_plus <= 0 or not np.isfinite(var_plus):
-        return float(m * n)
+        # zero total variance = frozen chains (a stuck sampler), not perfect
+        # mixing -- report zero effective draws, never m*n
+        return 0.0
     rho = 1.0 - (mean_var - acov.mean(axis=1)) / var_plus  # (n,)
     # Geyer initial positive + monotone sequence over pair sums
     npairs = (n - 1) // 2
