@@ -20,8 +20,10 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-WARMUP, SAMPLES = 200, 200
-N_CHAINS = 16
+WARMUP = int(os.environ.get("BENCH_WARMUP", 500))
+SAMPLES = int(os.environ.get("BENCH_SAMPLES", 500))
+N_CHAINS = int(os.environ.get("BENCH_CHAINS", 16))
+DENSE_MASS = os.environ.get("BENCH_DENSE_MASS", "1") == "1"
 MMIN, MMAX = 5.0, 100.0
 
 
@@ -96,8 +98,25 @@ def run_once(model, seed):
 
     from gwinferno_tpu.infer import MCMC, NUTS
 
-    init = {k: jnp.asarray(v) for k, v in FIDUCIAL_INIT.items()}
-    mcmc = MCMC(NUTS(model), num_warmup=WARMUP, num_samples=SAMPLES, num_chains=N_CHAINS)
+    # per-chain jittered inits around the fiducial point (the numpyro-style
+    # overdispersed start; a single shared point biases cross-chain diagnostics)
+    key = jax.random.PRNGKey(100 + seed)
+    jitter = {
+        "alpha": 0.3, "beta": 0.3, "mu_peak": 2.0, "sig_peak": 1.0, "lambda_m": 0.03,
+        "alpha_a1": 0.3, "beta_a1": 0.5, "alpha_a2": 0.3, "beta_a2": 0.5,
+        "lambda_ct1": 0.1, "lambda_ct2": 0.1, "sig_ct1": 0.3, "sig_ct2": 0.3,
+        "lamb": 0.5, "unscaled_rate": 10.0,
+    }
+    init = {}
+    for k, v in FIDUCIAL_INIT.items():
+        key, sub = jax.random.split(key)
+        init[k] = jnp.asarray(v) + jitter[k] * jax.random.uniform(sub, (N_CHAINS,), minval=-1.0, maxval=1.0)
+    mcmc = MCMC(
+        NUTS(model, dense_mass=DENSE_MASS),
+        num_warmup=WARMUP,
+        num_samples=SAMPLES,
+        num_chains=N_CHAINS,
+    )
     t0 = time.time()
     mcmc.run(jax.random.PRNGKey(seed), init_params=init)
     jax.block_until_ready(mcmc._collected_z)

@@ -107,8 +107,21 @@ class MCMC:
         nc = self.num_chains
 
         if init_params is not None:
-            # constrained dict of site values -> unconstrained flat, broadcast
-            u = {k: transforms[k].inv(v) if k in transforms else v for k, v in init_params.items()}
+            # constrained dict of site values -> unconstrained flat.  Values
+            # may carry a per-chain leading axis of size num_chains (jittered
+            # overdispersed starts); scalars/site-shaped values are broadcast.
+            u = {k: transforms[k].inv(v) if k in transforms else jnp.asarray(v) for k, v in init_params.items()}
+            proto = unravel(flat_proto)
+            per_chain = any(
+                jnp.ndim(v) == jnp.ndim(proto[k]) + 1 and jnp.shape(v)[0] == nc for k, v in u.items()
+            )
+            if per_chain:
+                u = {
+                    k: (v if jnp.ndim(v) == jnp.ndim(proto[k]) + 1 else jnp.broadcast_to(v, (nc,) + jnp.shape(proto[k])))
+                    for k, v in u.items()
+                }
+                z = jax.vmap(lambda uu: jax.flatten_util.ravel_pytree(uu)[0])(u)
+                return z.astype(dtype)
             flat, _ = jax.flatten_util.ravel_pytree(u)
             z = jnp.broadcast_to(flat, (nc, dim)).astype(dtype)
             return z

@@ -195,3 +195,26 @@ def test_find_reasonable_step_size_moves():
     loose = lambda x: 0.5 * jnp.sum((x / 10.0) ** 2)
     ss = float(find_reasonable_step_size(loose, mm, z, jax.random.PRNGKey(0), init_step_size=1e-6))
     assert ss > 1e-4, ss
+
+
+def test_per_chain_init_params():
+    """init_params values may carry a per-chain leading axis (jittered
+    overdispersed starts); scalars broadcast as before."""
+
+    def model():
+        ppl.sample("x", dist.Normal(0.0, 1.0))
+        ppl.sample("y", dist.HalfNormal(2.0))
+
+    nc = 4
+    init = {"x": jnp.arange(nc) * 0.1, "y": jnp.full((), 1.5)}
+    m = MCMC(NUTS(model), num_warmup=0, num_samples=1, num_chains=nc,
+             thinning=1)
+    # no warmup + no adaptation: chain 0's first state starts from its own init
+    m.kernel.adapt_step_size = False
+    m.kernel.adapt_mass_matrix = False
+    m.kernel.step_size = 1e-9  # effectively frozen: samples == inits
+    m.run(jax.random.PRNGKey(0), init_params=init)
+    s = m.get_samples(group_by_chain=True)
+    assert s["x"].shape == (nc, 1)
+    np.testing.assert_allclose(np.asarray(s["x"][:, 0]), np.arange(nc) * 0.1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s["y"][:, 0]), 1.5, rtol=1e-5)
