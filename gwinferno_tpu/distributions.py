@@ -21,6 +21,7 @@ from jax.scipy.special import betaln
 from jax.scipy.special import erf
 
 __all__ = [
+    "safe_logaddexp",
     "smooth",
     "logistic_function",
     "logistic_unit",
@@ -33,6 +34,21 @@ __all__ = [
     "betadist",
     "log_betadist",
 ]
+
+
+def safe_logaddexp(a, b):
+    """``logaddexp(a, b)`` whose gradient is zero (not NaN) where BOTH inputs
+    are ``-inf`` -- mixture components whose supports exclude a sample point.
+
+    Plain ``logaddexp``'s backward pass evaluates ``exp(-inf - (-inf))`` and
+    poisons the whole gradient with NaN even though the forward value is
+    correctly masked downstream (the f32-on-TPU failure mode that froze every
+    chain in round 1's bench).  Standard double-``where`` rematerialization.
+    """
+    both = (a == -jnp.inf) & (b == -jnp.inf)
+    a_safe = jnp.where(both, 0.0, a)
+    b_safe = jnp.where(both, 0.0, b)
+    return jnp.where(both, -jnp.inf, jnp.logaddexp(a_safe, b_safe))
 
 
 def smooth(dx, x, xmin):

@@ -25,7 +25,7 @@ __all__ = [
     "WelfordState",
     "welford_init",
     "welford_update",
-    "welford_update_batch",
+    "welford_pool",
     "welford_covariance",
     "DAState",
     "da_init",
@@ -120,24 +120,22 @@ def welford_update(state: WelfordState, x):
     return WelfordState(mean, m2, count)
 
 
-def welford_update_batch(state: WelfordState, xs):
-    """Merge a batch ``(n, dim)`` of observations in one parallel combine
-    (Chan et al.) -- the cross-chain collective-adaptation path: under pjit
-    with chains sharded this is a psum-shaped reduction over ICI."""
-    n = xs.shape[0] * jnp.ones((), dtype=state.count.dtype)
-    bmean = jnp.mean(xs, axis=0)
-    centered = xs - bmean
-    if state.m2.ndim == 2:
-        bm2 = centered.T @ centered
+def welford_pool(wf: WelfordState):
+    """Pool a chain-batched ``WelfordState`` (every leaf carries a leading
+    chain axis) into one state over all chains' draws -- the exact parallel
+    combine of Chan et al., including the between-chain mean-dispersion term
+    that naive moment averaging drops.  Under pjit with the chain axis
+    sharded, the sums lower to psum collectives over ICI."""
+    c = wf.count  # (nc,)
+    tot = jnp.sum(c)
+    safe_tot = jnp.maximum(tot, 1.0)
+    mean = jnp.sum(wf.mean * c[:, None], axis=0) / safe_tot
+    dev = wf.mean - mean  # (nc, dim)
+    if wf.m2.ndim == 3:
+        between = jnp.einsum("c,ci,cj->ij", c, dev, dev)
     else:
-        bm2 = jnp.sum(centered * centered, axis=0)
-    delta = bmean - state.mean
-    tot = state.count + n
-    mean = state.mean + delta * (n / jnp.maximum(tot, 1.0))
-    if state.m2.ndim == 2:
-        m2 = state.m2 + bm2 + jnp.outer(delta, delta) * (state.count * n / jnp.maximum(tot, 1.0))
-    else:
-        m2 = state.m2 + bm2 + delta * delta * (state.count * n / jnp.maximum(tot, 1.0))
+        between = jnp.sum(c[:, None] * dev * dev, axis=0)
+    m2 = jnp.sum(wf.m2, axis=0) + between
     return WelfordState(mean, m2, tot)
 
 

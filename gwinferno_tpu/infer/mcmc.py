@@ -4,11 +4,20 @@ TPU-first design decisions (vs the reference's delegation to NumPyro):
 
 - Chains are an explicit leading axis of every state pytree and transitions
   are ``vmap``-ed over it.  Under ``pjit`` with the chain axis sharded over a
-  device mesh, cross-chain adaptation reductions (means of accept
-  probabilities, pooled Welford moments) lower to XLA collectives over ICI --
-  the same code runs single-chip and pod-slice.
-- The whole warmup and sampling loops are single ``lax.scan`` programs: one
-  compile, no host round-trips per step.
+  device mesh, cross-chain adaptation reductions (mean accept probability,
+  the Chan-pooled Welford moments) lower to XLA collectives over ICI -- the
+  same code runs single-chip and pod-slice.
+- Warmup and sampling are ONE fused ``lax.scan``: the NUTS tree program is
+  instantiated exactly once in the compiled graph (round 1 compiled it twice
+  -- once per scan -- and paid ~7 minutes of XLA compile on TPU).
+  Warmup-only work (dual averaging, Welford, mass-matrix refresh) is
+  select-masked or ``lax.cond``-gated on per-step flags fed in as scan
+  inputs, so the post-warmup steps are the identical program with adaptation
+  frozen.
+- The compiled program is cached on the instance keyed by (model, data
+  identity, shapes): repeated ``run`` calls (new seeds, resumes) re-dispatch
+  the same executable instead of re-tracing -- round 1's bench paid
+  compilation twice for its two runs.
 - Deterministic sites (the reference's diagnostics-riding-in-the-posterior
   pattern) are **not** materialized inside the hot loop; they are recomputed
   in a batched post-pass, keeping sampled state minimal in HBM.
@@ -16,17 +25,16 @@ TPU-first design decisions (vs the reference's delegation to NumPyro):
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
 from ..ppl import handlers
-from ..ppl.constraints import biject_to
 from ..ppl.infer_util import _model_transforms
 from ..ppl.infer_util import potential_energy
-from . import hmc_util
-from .hmc_util import DAState
 from .hmc_util import MassMatrix
 from .hmc_util import build_warmup_schedule
 from .hmc_util import da_init
@@ -35,9 +43,18 @@ from .hmc_util import find_reasonable_step_size
 from .hmc_util import mass_matrix_from_inverse
 from .hmc_util import welford_covariance
 from .hmc_util import welford_init
+from .hmc_util import welford_pool
 from .hmc_util import welford_update
 
 __all__ = ["MCMC"]
+
+_CHAIN_METHODS = ("vectorized", "parallel", "sequential")
+
+
+def _tree_select(pred, new, old):
+    """Per-leaf ``where`` select -- cheaper to compile than ``lax.cond`` for
+    small adaptation updates (no branch programs)."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), new, old)
 
 
 class MCMC:
@@ -50,8 +67,16 @@ class MCMC:
     bin/gwinferno_run_from_config.py:65-69).
 
     ``collective_adaptation=True`` pools adaptation statistics across the
-    chain axis (step size from the mean accept prob, mass matrix from all
-    chains' draws) -- the multi-device scaling mode.
+    chain axis (step size from the mean accept prob, mass matrix from the
+    Chan-combined Welford moments of all chains) -- the multi-device scaling
+    mode.
+
+    ``chain_method``: ``"vectorized"`` (vmap over a chain axis, default),
+    ``"parallel"`` (vectorized + the chain axis sharded over all local
+    devices), or ``"sequential"`` (chains run one after another, reusing one
+    single-chain executable).  ``progress_bar=True`` segments the fused scan
+    and prints step / divergence progress between segments (a long jitted
+    scan is otherwise operationally silent).
     """
 
     def __init__(
@@ -68,17 +93,31 @@ class MCMC:
         mesh=None,
         chain_axis="chain",
     ):
+        if chain_method not in _CHAIN_METHODS:
+            raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
+        if jit_model_args:
+            raise ValueError(
+                "jit_model_args=True is not supported: model args are closed over "
+                "and the compiled program is cached per (model, data, shapes) -- "
+                "re-running with same-shaped data already reuses the executable"
+            )
+        if chain_method == "sequential" and collective_adaptation:
+            raise ValueError("collective_adaptation requires a batched chain axis (vectorized/parallel)")
         self.kernel = kernel
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
         self.num_chains = int(num_chains)
         self.thinning = int(thinning)
         self.collective_adaptation = collective_adaptation
+        self.chain_method = chain_method
+        self.progress_bar = progress_bar
         self.mesh = mesh
         self.chain_axis = chain_axis
         self._samples = None
         self._extra = None
         self._last_state = None
+        self._cache_key = None
+        self._compiled = None
 
     # ------------------------------------------------------------------ setup
 
@@ -126,176 +165,108 @@ class MCMC:
             z = jnp.broadcast_to(flat, (nc, dim)).astype(dtype)
             return z
 
-        pe_grad = jax.jit(jax.vmap(jax.value_and_grad(potential_fn)))
-
-        def attempt_rounds(max_rounds, strict):
-            nonlocal key
-            z = jnp.zeros((nc, dim), dtype)
-            valid = np.zeros(nc, dtype=bool)
-            for attempt in range(max_rounds):
-                key, sub = jax.random.split(key)
-                # shrink toward the transform midpoint: for hierarchical
-                # likelihoods with n_eff walls, flat-population points (u ~ 0)
-                # are the reliably-valid region
-                radius = max(0.125, 2.0 * (0.9**attempt))
-                cand = jax.random.uniform(sub, (nc, dim), minval=-radius, maxval=radius, dtype=dtype)
-                pe, grad = pe_grad(cand)
-                ok = jnp.isfinite(pe) & jnp.all(jnp.isfinite(grad), axis=-1)
-                if strict:
-                    # |pe| >= 1e30 catches the nan_to_num(-inf) likelihood
-                    # walls (hard n_eff cuts): technically finite, but a
-                    # zero-gradient plateau no sampler can escape
-                    ok = ok & (jnp.abs(pe) < 1e30)
-                ok = np.asarray(ok)
-                take = ok & ~valid
-                z = jnp.where(jnp.asarray(take)[:, None], cand, z)
-                valid |= ok
-                if valid.all():
-                    return z
-            return None
-
-        z = attempt_rounds(100, strict=True)
-        if z is None:
-            z = attempt_rounds(100, strict=False)
-            if z is not None:
-                print(
-                    "warning: some chains initialize on a likelihood-wall plateau "
-                    "(|potential| >= 1e30); sampling may need long warmup to escape"
-                )
-        if z is None:
-            raise RuntimeError("could not find valid initial parameters for all chains")
-        return z
-
-    # ------------------------------------------------------------------ run
-
-    def run(self, rng_key, *model_args, init_params=None, post_warmup_state=None, **model_kwargs):
-        if isinstance(rng_key, int):
-            rng_key = jax.random.PRNGKey(rng_key)
-        potential_fn, unravel, transforms, flat_proto = self._setup(model_args, model_kwargs)
-        self._unravel, self._transforms = unravel, transforms
-        self._model_args, self._model_kwargs = model_args, model_kwargs
-
-        nc, dim = self.num_chains, flat_proto.shape[0]
-        dtype = flat_proto.dtype
-        key_init, key_warm, key_samp = jax.random.split(rng_key, 3)
-
-        z0 = self._init_chains(key_init, potential_fn, flat_proto, init_params, unravel, transforms)
-
-        transition = self.kernel.make_transition(potential_fn)
-        kernel_init = self.kernel.make_init(potential_fn)
-        dense = getattr(self.kernel, "dense_mass", False)
-        target = getattr(self.kernel, "target_accept_prob", 0.8)
-        adapt_ss = getattr(self.kernel, "adapt_step_size", True)
-        adapt_mm = getattr(self.kernel, "adapt_mass_matrix", True)
-
-        if self.mesh is not None:
-            from ..parallel.sharding import shard_chain_state
-
-            z0 = shard_chain_state(self.mesh, z0, self.chain_axis)
-
-        state0 = jax.vmap(kernel_init)(z0)
-        inv0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones(dim, dtype=dtype)
-        mm0 = jax.vmap(lambda _: mass_matrix_from_inverse(inv0))(jnp.arange(nc))
-        if self.mesh is not None:
-            from ..parallel.sharding import shard_chain_state
-
-            state0 = shard_chain_state(self.mesh, state0, self.chain_axis)
-            mm0 = shard_chain_state(self.mesh, mm0, self.chain_axis)
-
-        # initial per-chain step size
-        if adapt_ss:
-            keys = jax.random.split(key_warm, nc + 1)
-            key_warm = keys[0]
-            ss0 = jax.jit(jax.vmap(lambda mm, z, k: find_reasonable_step_size(potential_fn, mm, z, k)))(
-                mm0, state0.z, keys[1:]
+        # Vectorized init search: all rounds of shrinking radii are drawn and
+        # evaluated in ONE batched device call (round 1's python rescue loop
+        # did up to 200 sequential host-device round trips).  Shrinking toward
+        # the transform midpoint works because for hierarchical likelihoods
+        # with n_eff walls, flat-population points (u ~ 0) are the
+        # reliably-valid region.
+        rounds = 24
+        radii = jnp.maximum(2.0 * 0.85 ** jnp.arange(rounds, dtype=dtype), 0.125)
+        cand = (
+            jax.random.uniform(key, (rounds, nc, dim), minval=-1.0, maxval=1.0, dtype=dtype)
+            * radii[:, None, None]
+        )
+        pe, grad = jax.jit(jax.vmap(jax.vmap(jax.value_and_grad(potential_fn))))(cand)
+        finite = jnp.isfinite(pe) & jnp.all(jnp.isfinite(grad), axis=-1)  # (rounds, nc)
+        # |pe| >= 1e30 catches the nan_to_num(-inf) likelihood walls (hard
+        # n_eff cuts): technically finite, but a zero-gradient plateau no
+        # sampler can escape
+        off_wall = finite & (jnp.abs(pe) < 1e30)
+        chain_idx = jnp.arange(nc)
+        z_strict = cand[jnp.argmax(off_wall, axis=0), chain_idx]
+        z_loose = cand[jnp.argmax(finite, axis=0), chain_idx]
+        strict_ok = np.asarray(jnp.any(off_wall, axis=0))
+        loose_ok = np.asarray(jnp.any(finite, axis=0))
+        if strict_ok.all():
+            return z_strict
+        if loose_ok.all():
+            print(
+                "warning: some chains initialize on a likelihood-wall plateau "
+                "(|potential| >= 1e30); sampling may need long warmup to escape"
             )
-        else:
-            ss0 = jnp.full((nc,), float(self.kernel.step_size), dtype)
-        da0 = jax.vmap(da_init)(ss0)
-        wf0 = jax.vmap(lambda _: welford_init(dim, dense, dtype))(jnp.arange(nc))
+            return jnp.where(jnp.asarray(strict_ok)[:, None], z_strict, z_loose)
+        raise RuntimeError("could not find valid initial parameters for all chains")
 
-        window_end, in_slow = build_warmup_schedule(self.num_warmup, adapt_mm)
+    # ------------------------------------------------------------------ program
 
+    def _build_programs(self, potential_fn, dim, dtype, nc, find_ss0):
+        """Build (init_fn, scan_fn), each jitted once; reused across run() calls."""
+        kernel = self.kernel
+        transition = kernel.make_transition(potential_fn)
+        kernel_init = kernel.make_init(potential_fn)
+        dense = getattr(kernel, "dense_mass", False)
+        target = getattr(kernel, "target_accept_prob", 0.8)
+        adapt_ss = getattr(kernel, "adapt_step_size", True)
+        adapt_mm = getattr(kernel, "adapt_mass_matrix", True)
         collective = self.collective_adaptation
 
-        def warmup_step(carry, xs):
-            state, da, wf, mm, key = carry
-            t_window_end, t_in_slow, _ = xs
+        def wf_fresh():
+            return jax.vmap(lambda _: welford_init(dim, dense, dtype))(jnp.arange(nc))
+
+        def init_fn(z0, rng_key, mm_inverse0, ss_in):
+            state0 = jax.vmap(kernel_init)(z0)
+            mm0 = jax.vmap(mass_matrix_from_inverse)(mm_inverse0)
+            if find_ss0:
+                keys = jax.random.split(rng_key, nc)
+                ss0 = jax.vmap(lambda m, z, k: find_reasonable_step_size(potential_fn, m, z, k))(
+                    mm0, state0.z, keys
+                )
+            else:
+                ss0 = ss_in
+            da0 = jax.vmap(da_init)(ss0)
+            return state0, da0, wf_fresh(), mm0, ss0
+
+        def window_update(args):
+            wf, mm, da = args
+            if collective:
+                # exact Chan combine over the chain axis (between-chain mean
+                # dispersion included); psum-shaped under a sharded chain axis
+                cov1 = welford_covariance(welford_pool(wf))
+                cov = jnp.broadcast_to(cov1, (nc,) + cov1.shape)
+            else:
+                cov = jax.vmap(welford_covariance)(wf)
+            mm_new = jax.vmap(mass_matrix_from_inverse)(cov)
+            # Stan-style window end: keep the current step size and restart
+            # its dual-averaging stats.  (numpyro re-runs the step-size search
+            # here; a vmapped while_loop nested in the warmup scan was the
+            # single largest XLA compile sink in round 1.)
+            da_new = jax.vmap(da_init)(jnp.exp(da.log_step))
+            return wf_fresh(), mm_new, da_new
+
+        def step(carry, xs):
+            state, da, wf, mm, ss_final, key = carry
+            is_warmup, in_slow, window_end, finalize = xs
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nc)
-            step_size = jnp.exp(da.log_step)
+            step_size = jnp.where(is_warmup, jnp.exp(da.log_step), ss_final)
             state = jax.vmap(transition)(state, mm, step_size, keys)
 
-            accept = state.accept_prob
-            if collective:
-                accept = jnp.mean(accept) * jnp.ones_like(accept)
-            da = jax.vmap(lambda d, a: da_update(d, a, target=target))(da, accept) if adapt_ss else da
-
-            # accumulate Welford during slow windows
-            def wf_upd(wf):
-                return jax.vmap(welford_update)(wf, state.z)
-
-            wf = jax.lax.cond(t_in_slow, wf_upd, lambda w: w, wf)
-
-            # at slow-window end: refresh the mass matrix, reset Welford + DA
-            def window_update(args):
-                wf, mm, da, key = args
+            if adapt_ss:
+                accept = state.accept_prob
                 if collective:
-                    # pool moments across chains: average means/m2 (equal counts)
-                    pooled_mean = jnp.mean(wf.mean, axis=0)
-                    pooled_m2 = jnp.mean(wf.m2, axis=0) + 0.0
-                    pooled = hmc_util.WelfordState(
-                        jnp.broadcast_to(pooled_mean, wf.mean.shape),
-                        jnp.broadcast_to(pooled_m2, wf.m2.shape),
-                        wf.count,
-                    )
-                    cov = jax.vmap(welford_covariance)(pooled)
-                else:
-                    cov = jax.vmap(welford_covariance)(wf)
-                mm_new = jax.vmap(mass_matrix_from_inverse)(cov)
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, nc)
-                ss = jax.vmap(lambda m, z, k: find_reasonable_step_size(potential_fn, m, z, k))(
-                    mm_new, state.z, keys
-                )
-                da_new = jax.vmap(da_init)(ss)
-                wf_new = jax.vmap(lambda _: welford_init(dim, dense, dtype))(jnp.arange(nc))
-                return wf_new, mm_new, da_new, key
+                    accept = jnp.broadcast_to(jnp.mean(accept), accept.shape)
+                da_new = jax.vmap(lambda d, a: da_update(d, a, target=target))(da, accept)
+                da = _tree_select(is_warmup, da_new, da)
 
-            wf, mm, da, key = jax.lax.cond(
-                t_window_end & adapt_mm, window_update, lambda a: a, (wf, mm, da, key)
-            )
-            return (state, da, wf, mm, key), state.accept_prob
+            if adapt_mm:
+                wf_new = jax.vmap(welford_update)(wf, state.z)
+                wf = _tree_select(is_warmup & in_slow, wf_new, wf)
+                wf, mm, da = jax.lax.cond(window_end, window_update, lambda a: a, (wf, mm, da))
 
-        if post_warmup_state is not None:
-            # resume: skip warmup, restore chain + adaptation state
-            state = jax.tree.map(jnp.asarray, post_warmup_state["state"])
-            if not isinstance(state, type(state0)):
-                state = type(state0)(*state)
-            mm = MassMatrix(jnp.asarray(post_warmup_state["inverse_mass_matrix"]),
-                            jnp.asarray(post_warmup_state["mass_chol"]))
-            step_size = jnp.asarray(post_warmup_state["step_size"])
-            key_samp = jnp.asarray(post_warmup_state.get("rng_key", key_samp))
-        elif self.num_warmup > 0:
-            xs = (
-                jnp.asarray(window_end),
-                jnp.asarray(in_slow),
-                jnp.arange(self.num_warmup),
-            )
-            (state, da, wf, mm, _), _ = jax.lax.scan(
-                warmup_step, (state0, da0, wf0, mm0, key_warm), xs
-            )
-            step_size = jnp.exp(da.log_step_avg) if adapt_ss else jnp.exp(da.log_step)
-        else:
-            state, mm = state0, mm0
-            step_size = ss0
+            ss_now = jnp.exp(da.log_step_avg) if adapt_ss else step_size
+            ss_final = jnp.where(finalize, ss_now, ss_final)
 
-        self._adapt_info = {"step_size": step_size, "inverse_mass_matrix": mm.inverse}
-
-        def sample_step(carry, key):
-            state = carry
-            keys = jax.random.split(key, nc)
-            state = jax.vmap(transition)(state, mm, step_size, keys)
             out = {
                 "z": state.z,
                 "accept_prob": state.accept_prob,
@@ -305,11 +276,114 @@ class MCMC:
                 "potential_energy": state.pe,
                 "tree_depth": state.tree_depth,
             }
-            return state, out
+            return (state, da, wf, mm, ss_final, key), out
+
+        def scan_fn(carry, xs):
+            return jax.lax.scan(step, carry, xs)
+
+        return jax.jit(init_fn), jax.jit(scan_fn)
+
+    def _get_compiled(self, model_args, model_kwargs, resume):
+        """(Re)build the potential fn + jitted programs unless the cached ones
+        match this call's model / data identity / chain layout."""
+        leaves = jax.tree.leaves((model_args, model_kwargs))
+        leaf_ids = tuple(id(x) for x in leaves)
+        shapes = tuple((jnp.shape(x), jnp.result_type(x).name) for x in leaves)
+        treedef = jax.tree.structure((model_args, model_kwargs))
+        nc = 1 if self.chain_method == "sequential" else self.num_chains
+        find_ss0 = getattr(self.kernel, "adapt_step_size", True) and not resume
+        key = (id(self.kernel.model), treedef, leaf_ids, shapes, nc, find_ss0,
+               getattr(self.kernel, "dense_mass", False), self.collective_adaptation)
+        if self._cache_key != key:
+            self._cache_leaves = leaves  # hold refs so leaf ids stay unique
+            potential_fn, unravel, transforms, flat_proto = self._setup(model_args, model_kwargs)
+            dim, dtype = flat_proto.shape[0], flat_proto.dtype
+            init_fn, scan_fn = self._build_programs(potential_fn, dim, dtype, nc, find_ss0)
+            self._compiled = (potential_fn, unravel, transforms, flat_proto, init_fn, scan_fn)
+            self._cache_key = key
+        return self._compiled
+
+    def _schedule_arrays(self, num_warmup, total, adapt_mm):
+        """Per-step flag arrays for the fused scan: (is_warmup, in_slow,
+        window_end, finalize), each length num_warmup + total."""
+        T = num_warmup + total
+        is_warmup = np.zeros(T, dtype=bool)
+        is_warmup[:num_warmup] = True
+        in_slow = np.zeros(T, dtype=bool)
+        window_end = np.zeros(T, dtype=bool)
+        if num_warmup > 0:
+            w_end, w_slow = build_warmup_schedule(num_warmup, adapt_mm)
+            window_end[:num_warmup] = w_end
+            in_slow[:num_warmup] = w_slow
+        finalize = np.zeros(T, dtype=bool)
+        if num_warmup > 0:
+            finalize[num_warmup - 1] = True
+        return tuple(jnp.asarray(a) for a in (is_warmup, in_slow, window_end, finalize))
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, rng_key, *model_args, init_params=None, post_warmup_state=None, **model_kwargs):
+        if isinstance(rng_key, int):
+            rng_key = jax.random.PRNGKey(rng_key)
+        resume = post_warmup_state is not None
+        potential_fn, unravel, transforms, flat_proto, init_fn, scan_fn = self._get_compiled(
+            model_args, model_kwargs, resume
+        )
+        self._unravel, self._transforms = unravel, transforms
+        self._model_args, self._model_kwargs = model_args, model_kwargs
+
+        nc, dim = self.num_chains, flat_proto.shape[0]
+        dtype = flat_proto.dtype
+        key_init, key_ss, key_samp = jax.random.split(rng_key, 3)
+
+        dense = getattr(self.kernel, "dense_mass", False)
+        adapt_mm = getattr(self.kernel, "adapt_mass_matrix", True)
+
+        if self.chain_method == "parallel" and self.mesh is None:
+            ndev = len(jax.devices())
+            if ndev > 1 and nc % ndev == 0:
+                from jax.sharding import Mesh
+
+                self.mesh = Mesh(np.asarray(jax.devices()), (self.chain_axis,))
+            else:
+                print(f"chain_method='parallel': {nc} chains not shardable over {ndev} devices; running vectorized")
+
+        if resume:
+            num_warmup = 0
+            state_ckpt = jax.tree.map(jnp.asarray, post_warmup_state["state"])
+            z0 = state_ckpt[0]  # NUTSState/HMCState field 0 is z
+            mm_inv0 = jnp.asarray(post_warmup_state["inverse_mass_matrix"])
+            ss_in = jnp.asarray(post_warmup_state["step_size"])
+            key_samp = jnp.asarray(post_warmup_state.get("rng_key", key_samp))
+        else:
+            num_warmup = self.num_warmup
+            z0 = self._init_chains(key_init, potential_fn, flat_proto, init_params, unravel, transforms)
+            inv0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones(dim, dtype=dtype)
+            mm_inv0 = jnp.broadcast_to(inv0, (nc,) + inv0.shape)
+            ss_in = jnp.full((nc,), float(self.kernel.step_size), dtype)
 
         total = self.num_samples * self.thinning
-        keys = jax.random.split(key_samp, total)
-        state, collected = jax.lax.scan(sample_step, state, keys)
+        xs = self._schedule_arrays(num_warmup, total, adapt_mm)
+
+        if self.chain_method == "sequential":
+            collected, carry = self._run_sequential(init_fn, scan_fn, z0, mm_inv0, ss_in, key_ss, key_samp, xs)
+        else:
+            if self.mesh is not None:
+                from ..parallel.sharding import shard_chain_state
+
+                z0, mm_inv0, ss_in = (
+                    shard_chain_state(self.mesh, x, self.chain_axis) for x in (z0, mm_inv0, ss_in)
+                )
+            state0, da0, wf0, mm0, ss0 = init_fn(z0, key_ss, mm_inv0, ss_in)
+            carry = (state0, da0, wf0, mm0, ss0, key_samp)
+            carry, collected = self._run_scan(scan_fn, carry, xs, num_warmup)
+
+        state, da, wf, mm, ss_final, key_end = carry
+        step_size = ss_final
+        self._adapt_info = {"step_size": step_size, "inverse_mass_matrix": mm.inverse}
+
+        # strip warmup, then thin
+        collected = jax.tree.map(lambda x: x[num_warmup:], collected)
         if self.thinning > 1:
             collected = jax.tree.map(lambda x: x[self.thinning - 1 :: self.thinning], collected)
 
@@ -319,12 +393,52 @@ class MCMC:
             "inverse_mass_matrix": mm.inverse,
             "mass_chol": mm.mass_chol,
             "step_size": step_size,
-            "rng_key": jax.random.fold_in(key_samp, total),
+            "rng_key": key_end,
         }
         self._collected_z = collected.pop("z")  # (num_samples, chains, dim)
         self._extra = collected
         self._samples = None
         return self
+
+    def _run_scan(self, scan_fn, carry, xs, num_warmup):
+        """Run the fused scan, optionally segmented for progress output."""
+        T = xs[0].shape[0]
+        if not self.progress_bar or T <= 1:
+            return scan_fn(carry, xs)
+        seg = max(1, T // 10)
+        outs = []
+        t0 = time.time()
+        done = 0
+        ndiv = 0
+        while done < T:
+            n = min(seg, T - done)
+            xs_seg = jax.tree.map(lambda a: a[done : done + n], xs)
+            carry, out = scan_fn(carry, xs_seg)
+            outs.append(out)
+            done += n
+            ndiv += int(jnp.sum(out["diverging"]))
+            phase = "warmup" if done <= num_warmup else "sample"
+            rate = done / max(time.time() - t0, 1e-9)
+            print(f"[mcmc] {phase} step {done}/{T}  ({rate:.2f} it/s, {ndiv} divergences)", flush=True)
+        collected = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
+        return carry, collected
+
+    def _run_sequential(self, init_fn, scan_fn, z0, mm_inv0, ss_in, key_ss, key_samp, xs):
+        """chain_method='sequential': one single-chain executable reused for
+        every chain; results stacked along the chain axis."""
+        carries, outs = [], []
+        for c in range(self.num_chains):
+            sl = slice(c, c + 1)
+            state0, da0, wf0, mm0, ss0 = init_fn(
+                z0[sl], jax.random.fold_in(key_ss, c), mm_inv0[sl], ss_in[sl]
+            )
+            carry = (state0, da0, wf0, mm0, ss0, jax.random.fold_in(key_samp, c))
+            carry, out = self._run_scan(scan_fn, carry, xs, 0)
+            carries.append(carry[:5])  # rng key (carry[5]) is not chain-batched
+            outs.append(out)
+        collected = jax.tree.map(lambda *x: jnp.concatenate(x, axis=1), *outs)
+        stacked = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *carries)
+        return collected, (*stacked, jax.random.fold_in(key_samp, self.num_chains))
 
     # ------------------------------------------------------------------ results
 

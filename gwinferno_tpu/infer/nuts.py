@@ -70,52 +70,43 @@ def _is_turning(mm: MassMatrix, r_left, r_right, r_sum):
     return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
 
 
+def _popcount(x):
+    """Branchless popcount of a non-negative int32 scalar (vectorized bit
+    extraction; leaf indices are < 2**max_tree_depth << 2**31).  Loop-free on
+    purpose: a ``while_loop`` here would nest 4 deep inside the transition
+    and blow up XLA compile time on TPU."""
+    bits = jnp.arange(32, dtype=x.dtype)
+    return jnp.sum((x >> bits) & 1).astype(x.dtype)
+
+
 def _leaf_to_ckpt(n):
     """Checkpoint bookkeeping for the iterative U-turn scheme.
 
     For leaf index ``n`` (0-based within a subtree), returns ``(idx_min,
     idx_max)``: the checkpoint-slot range to test (odd ``n``) or the slot to
     store into (even ``n``).  ``idx_max`` = popcount(n >> 1); the number of
-    trailing one-bits of ``n`` fixes how many nested spans end at ``n``.
+    trailing one-bits of ``n`` fixes how many nested spans end at ``n``
+    (trailing_ones(n) = popcount(n ^ (n+1)) - 1).
     """
-
-    def popcount(x):
-        def body(carry):
-            x, c = carry
-            return x >> 1, c + (x & 1)
-
-        _, c = jax.lax.while_loop(lambda s: s[0] > 0, body, (x, jnp.zeros_like(x)))
-        return c
-
-    def trailing_ones(x):
-        def body(carry):
-            x, c = carry
-            return x >> 1, c + 1
-
-        _, c = jax.lax.while_loop(lambda s: (s[0] & 1) != 0, body, (x, jnp.zeros_like(x)))
-        return c
-
-    idx_max = popcount(n >> 1)
-    idx_min = idx_max - trailing_ones(n) + 1
+    idx_max = _popcount(n >> 1)
+    trailing_ones = _popcount(n ^ (n + 1)) - 1
+    idx_min = idx_max - trailing_ones + 1
     return idx_min, idx_max
 
 
 def _iterative_turning_check(mm, r, r_sum, r_ckpts, r_sum_ckpts, idx_min, idx_max):
     """Check U-turns between the new (odd) leaf and every checkpointed span
-    start in ``[idx_min, idx_max]``, scanning from the largest span down."""
+    start in ``[idx_min, idx_max]``.
 
-    def cond(carry):
-        i, turning = carry
-        return (i >= idx_min) & ~turning
-
-    def body(carry):
-        i, _ = carry
-        span_r_sum = r_sum - r_sum_ckpts[i] + r_ckpts[i]
-        turning = _is_turning(mm, r_ckpts[i], r, span_r_sum)
-        return i - 1, turning
-
-    _, turning = jax.lax.while_loop(cond, body, (idx_max, jnp.zeros((), bool)))
-    return turning
+    All ``max_tree_depth`` slots are evaluated in one vectorized batch and
+    masked to the live range -- at ~10 slots x dim-sized dot products the
+    redundant lanes are free, and it removes two nested ``while_loop`` levels
+    from the compiled transition (the round-1 program spent ~7 min in XLA
+    compile largely on this nest)."""
+    span_r_sum = r_sum[None, :] - r_sum_ckpts + r_ckpts  # (max_depth, dim)
+    turning = jax.vmap(lambda r_l, rho_sum: _is_turning(mm, r_l, r, rho_sum))(r_ckpts, span_r_sum)
+    slots = jnp.arange(r_ckpts.shape[0])
+    return jnp.any(turning & (slots >= idx_min) & (slots <= idx_max))
 
 
 def _build_subtree(step_fn, mm, h0, depth, z0, r0, grad0, direction, step_size, max_delta_energy, max_depth, key):

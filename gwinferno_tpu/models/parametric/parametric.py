@@ -12,8 +12,12 @@ from jax.scipy.integrate import trapezoid
 
 from ...cosmology import PLANCK_2015_LVK_Cosmology as Planck15
 from ...distributions import betadist
+from ...distributions import log_betadist
+from ...distributions import log_powerlaw_pdf
+from ...distributions import log_truncnorm_pdf
 from ...distributions import powerlaw_logit_pdf
 from ...distributions import powerlaw_pdf
+from ...distributions import safe_logaddexp
 from ...distributions import smooth
 from ...distributions import truncnorm_pdf
 
@@ -22,12 +26,16 @@ __all__ = [
     "powerlaw_primary_ratio_falloff_pdf",
     "plpeak_primary_pdf",
     "plpeak_primary_ratio_pdf",
+    "log_plpeak_primary_ratio_pdf",
     "beta_spin_magnitude",
     "iid_spin_magnitude",
     "independent_spin_magnitude_beta_dist",
+    "log_independent_spin_magnitude_beta_dist",
     "mixture_isoalign_spin_tilt",
+    "log_mixture_isoalign_spin_tilt",
     "iid_spin_tilt",
     "independent_spin_tilt",
+    "log_independent_spin_tilt",
     "default_spin_tilt",
     "PowerlawRedshiftModel",
 ]
@@ -69,6 +77,17 @@ def plpeak_primary_ratio_pdf(m1, q, alpha, beta, mmin, mmax, mpp, sigpp, lam, de
     return p_q * smooth(delta, q * m1, mmin) * p_m1
 
 
+def log_plpeak_primary_ratio_pdf(m1, q, alpha, beta, mmin, mmax, mpp, sigpp, lam):
+    """Log-space powerlaw+peak joint (m1, q) pdf -- the f32-safe TPU hot path
+    (linear products of truncated pdfs overflow/underflow float32; the
+    mixture is composed with ``logaddexp`` instead)."""
+    log_p_q = log_powerlaw_pdf(q, beta, mmin / m1, 1.0)
+    log_pl = log_powerlaw_pdf(m1, alpha, mmin, mmax)
+    log_peak = log_truncnorm_pdf(m1, mpp, sigpp, mmin, mmax)
+    log_p_m1 = safe_logaddexp(jnp.log1p(-lam) + log_pl, jnp.log(lam) + log_peak)
+    return log_p_q + log_p_m1
+
+
 # ---------------------------------------------------------------------------
 # spin models (parity: parametric.py:63-102)
 # ---------------------------------------------------------------------------
@@ -98,6 +117,25 @@ def iid_spin_tilt(ct1, ct2, xi_tilt, sigma_tilt):
 
 def independent_spin_tilt(ct1, ct2, xi_tilt_1, xi_tilt_2, sigma_tilt1, sigma_tilt2):
     return mixture_isoalign_spin_tilt(ct1, xi_tilt_1, sigma_tilt1) * mixture_isoalign_spin_tilt(ct2, xi_tilt_2, sigma_tilt2)
+
+
+def log_independent_spin_magnitude_beta_dist(a1, a2, alpha_mag1, beta_mag1, alpha_mag2, beta_mag2, amax1=1, amax2=1):
+    return log_betadist(a1, alpha_mag1, beta_mag1, scale=amax1) + log_betadist(a2, alpha_mag2, beta_mag2, scale=amax2)
+
+
+def log_mixture_isoalign_spin_tilt(ct, xi_tilt, sigma_tilt):
+    """Log of the isotropic+aligned tilt mixture, composed via logaddexp."""
+    log_iso = jnp.where(
+        jnp.greater(ct, 1) | jnp.less(ct, -1), -jnp.inf, jnp.log1p(-xi_tilt) - jnp.log(2.0)
+    )
+    log_ali = jnp.log(xi_tilt) + log_truncnorm_pdf(ct, 1.0, sigma_tilt, -1.0, 1.0)
+    return safe_logaddexp(log_iso, log_ali)
+
+
+def log_independent_spin_tilt(ct1, ct2, xi_tilt_1, xi_tilt_2, sigma_tilt1, sigma_tilt2):
+    return log_mixture_isoalign_spin_tilt(ct1, xi_tilt_1, sigma_tilt1) + log_mixture_isoalign_spin_tilt(
+        ct2, xi_tilt_2, sigma_tilt2
+    )
 
 
 def default_spin_tilt(ct1, ct2, xi_tilt, sigma_tilt):

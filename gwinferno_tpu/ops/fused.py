@@ -19,6 +19,7 @@ fallbacks and as the oracle in tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,130 @@ try:  # pallas imports are module-level for the TPU path; harmless on CPU
 except ImportError:  # pragma: no cover
     pl = pltpu = None
 
-__all__ = ["fused_logweight_logsumexp", "fused_logweight_logsumexp_xla", "logsumexp_rows"]
+__all__ = [
+    "double_logsumexp",
+    "fused_logweight_logsumexp",
+    "fused_logweight_logsumexp_xla",
+    "logsumexp_rows",
+]
+
+
+# --------------------------------------------------------------------------
+# double_logsumexp: the likelihood's importance-weight reduction
+# --------------------------------------------------------------------------
+# per_event_log_bayes_factors / detection_efficiency both need
+# (logsumexp(w), logsumexp(2w)) over the sample/injection axis at every
+# NUTS gradient.  The fused kernel computes both in ONE streaming pass with
+# online (max, sum, sum-of-squares) accumulation -- one HBM read of the
+# weight bank instead of two -- and carries a custom VJP so it sits directly
+# on the NUTS hot path.  Mode: GWINF_FUSED=1 forces the kernel, =0 forces
+# the XLA fallback, =auto (default) uses the kernel on TPU.
+
+
+def _dlse_xla(x):
+    return logsumexp(x, axis=-1), logsumexp(2.0 * x, axis=-1)
+
+
+def _dlse_kernel(x_ref, lse1_ref, lse2_ref, m_acc, s1_acc, s2_acc):
+    # stats live in column 0 of lane-padded (R, 128) scratch: Mosaic's block
+    # tiling wants >= 2-D, and a vmapped pallas_call (the chain axis) rejects
+    # 1-D output blocks outright
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, -jnp.inf)
+        s1_acc[:] = jnp.zeros_like(s1_acc)
+        s2_acc[:] = jnp.zeros_like(s2_acc)
+
+    xb = x_ref[:]  # (R, block)
+    m_old = m_acc[:, 0:1]
+    m_new = jnp.maximum(m_old, jnp.max(xb, axis=-1, keepdims=True))
+    # where-guards keep all--inf rows (masked events / padding) NaN-free
+    scale = jnp.where(m_old == m_new, 1.0, jnp.exp(m_old - m_new))
+    e = jnp.where(xb == -jnp.inf, 0.0, jnp.exp(xb - m_new))
+    s1_new = s1_acc[:, 0:1] * scale + jnp.sum(e, axis=-1, keepdims=True)
+    s2_new = s2_acc[:, 0:1] * scale * scale + jnp.sum(e * e, axis=-1, keepdims=True)
+    m_acc[:, 0:1] = m_new
+    s1_acc[:, 0:1] = s1_new
+    s2_acc[:, 0:1] = s2_new
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        lse1_ref[:] = jnp.broadcast_to(m_new + jnp.log(s1_new), lse1_ref.shape)
+        lse2_ref[:] = jnp.broadcast_to(2.0 * m_new + jnp.log(s2_new), lse2_ref.shape)
+
+
+def _dlse_pallas_2d(x, block=2048, interpret=False):
+    """(logsumexp(x,-1), logsumexp(2x,-1)) for 2-D x via one Pallas pass."""
+    R, N = x.shape
+    R_pad = -(-R // 8) * 8
+    block = min(block, -(-N // 128) * 128)
+    N_pad = -(-N // block) * block
+    if R_pad != R or N_pad != N:
+        x = jnp.pad(x, ((0, R_pad - R), (0, N_pad - N)), constant_values=-jnp.inf)
+
+    lse1, lse2 = pl.pallas_call(
+        _dlse_kernel,
+        grid=(N_pad // block,),
+        in_specs=[pl.BlockSpec((R_pad, block), lambda j: (0, j))],
+        out_specs=(
+            pl.BlockSpec((R_pad, 128), lambda j: (0, 0)),
+            pl.BlockSpec((R_pad, 128), lambda j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R_pad, 128), x.dtype),
+            jax.ShapeDtypeStruct((R_pad, 128), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R_pad, 128), x.dtype),
+            pltpu.VMEM((R_pad, 128), x.dtype),
+            pltpu.VMEM((R_pad, 128), x.dtype),
+        ],
+        interpret=interpret,
+    )(x)
+    return lse1[:R, 0], lse2[:R, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _dlse_fused(x, interpret=False):
+    lead, n = x.shape[:-1], x.shape[-1]
+    l1, l2 = _dlse_pallas_2d(x.reshape((-1, n)), interpret=interpret)
+    return l1.reshape(lead), l2.reshape(lead)
+
+
+def _dlse_fwd(x, interpret=False):
+    out = _dlse_fused(x, interpret)
+    return out, (x, *out)
+
+
+def _dlse_bwd(interpret, res, g):
+    x, lse1, lse2 = res
+    g1, g2 = g
+    neg = x == -jnp.inf
+    # d lse1/dx = softmax(x); d lse2/dx = 2 softmax(2x)
+    t1 = jnp.where(neg, 0.0, jnp.exp(x - lse1[..., None])) * g1[..., None]
+    t2 = 2.0 * jnp.where(neg, 0.0, jnp.exp(2.0 * x - lse2[..., None])) * g2[..., None]
+    return (t1 + t2,)
+
+
+_dlse_fused.defvjp(_dlse_fwd, _dlse_bwd)
+
+
+def double_logsumexp(x, axis=-1, mode=None, interpret=False):
+    """``(logsumexp(x, axis), logsumexp(2x, axis))`` -- the hierarchical
+    likelihood's paired importance-weight reductions, fused on TPU.
+
+    ``mode``: "1" force Pallas, "0" force XLA, "auto" Pallas-on-TPU;
+    defaults to the GWINF_FUSED environment variable (default "auto").
+    """
+    if axis != -1 and axis != x.ndim - 1:
+        x = jnp.moveaxis(x, axis, -1)
+    mode = mode if mode is not None else os.environ.get("GWINF_FUSED", "auto")
+    on_tpu = pl is not None and jax.devices()[0].platform == "tpu"
+    if mode == "1" or (mode == "auto" and on_tpu):
+        return _dlse_fused(x, interpret)
+    return _dlse_xla(x)
 
 
 def fused_logweight_logsumexp_xla(coefs, design, neg_log_prior, n_events, n_samples):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from .. import ppl
+from ..ops.fused import double_logsumexp
 from ..ppl import distributions as dist
 from ..infer import MCMC
 from ..infer import NUTS
@@ -44,20 +45,24 @@ def per_event_log_bayes_factors(weights, log=False):
 
     ``weights``: ``(N_events, N_samples)`` (log-weights when ``log=True``).
     Returns ``(logBFs, log_n_effs, variances)``.
-    Parity: gwinferno/pipeline/analysis.py:50-88.
+
+    Semantics: gwinferno/pipeline/analysis.py:50-88.  The log path never
+    leaves log space (one fused pass computes ``logsumexp(w)`` and
+    ``logsumexp(2w)`` -- see ops/fused.py for the Pallas TPU kernel), so it is
+    f32-safe on TPU where the reference's linear path overflows.
     """
+    n_samples = weights.shape[-1]
     if log:
-        logweights = weights
-        logBFs = logsumexp(logweights, axis=1)
-        logn_effs = 2.0 * logBFs - logsumexp(2.0 * logweights, axis=1)
-        logBFs = logBFs - jnp.log(logweights.shape[1])
+        lse1, lse2 = double_logsumexp(weights)
+        logn_effs = 2.0 * lse1 - lse2
+        logBFs = lse1 - jnp.log(1.0 * n_samples)
     else:
         BFs = jnp.sum(weights, axis=1)
         n_effs = BFs**2 / jnp.sum(weights**2, axis=1)
-        BFs = BFs / weights.shape[1]
+        BFs = BFs / n_samples
         logBFs = jnp.log(BFs)
         logn_effs = jnp.log(n_effs)
-    variances = 1.0 / jnp.exp(logn_effs) - 1.0 / weights.shape[1]
+    variances = jnp.exp(-logn_effs) - 1.0 / n_samples
     return logBFs, logn_effs, variances
 
 
@@ -68,20 +73,30 @@ def detection_efficiency(weights, Ninj, log=False):
 
     ``weights``: ``(N_found,)``; ``Ninj``: total generated injections.
     Returns ``(log_mu, log_n_eff, variance)``.
-    Parity: gwinferno/pipeline/analysis.py:91-136.
+
+    Semantics: gwinferno/pipeline/analysis.py:91-136 -- same estimator
+    ``var = sum(w^2)/Ninj^2 - mu^2/Ninj``, but the log path evaluates it in
+    shifted log space (``logvar = A + log1p(-exp(B - A))``) so that f32 never
+    squares linear weights (round 1's TPU overflow).
     """
     if log:
         logweights = weights
-        logmu = logsumexp(logweights) - jnp.log(Ninj)
-        mu = jnp.exp(logmu)
-        var = jnp.sum(jnp.exp(logweights) ** 2) / Ninj**2 - mu**2 / Ninj
-        logn_eff = 2.0 * logmu - jnp.log(var)
+        log_ninj = jnp.log(Ninj)
+        lse1, lse2 = double_logsumexp(logweights[None, :])
+        lse1, lse2 = lse1[0], lse2[0]
+        logmu = lse1 - log_ninj
+        # var = e^A - e^B with A = log(sum w^2 / Ninj^2), B = log(mu^2/Ninj);
+        # B - A = log(n_eff_raw / Ninj) < 0 since n_eff_raw <= N_found < Ninj
+        A = lse2 - 2.0 * log_ninj
+        B = 2.0 * logmu - log_ninj
+        logvar = A + jnp.log1p(-jnp.exp(jnp.minimum(B - A, -1e-6)))
+        logn_eff = 2.0 * logmu - logvar
     else:
         mu = jnp.sum(weights) / Ninj
         var = jnp.sum(weights**2) / Ninj**2 - mu**2 / Ninj
         logmu = jnp.log(mu)
         logn_eff = 2.0 * logmu - jnp.log(var)
-    variance = 1.0 / jnp.exp(logn_eff) - 1.0 / Ninj
+    variance = jnp.exp(-logn_eff) - 1.0 / Ninj
     return logmu, logn_eff, variance
 
 
@@ -194,43 +209,61 @@ def hierarchical_likelihood(
 
     if posterior_predictive_check:
         if param_names is not None and injdata is not None and pedata is not None:
-            if log:
-                pe_weights = jnp.exp(pe_weights)
-                inj_weights = jnp.exp(inj_weights)
-            cond = jnp.less(pedata["mass_1"], m1min) | jnp.greater(pedata["mass_1"], mmax)
-            pe_weights = jnp.where(
-                cond | jnp.less(pedata["mass_1"] * pedata["mass_ratio"], m2min),
-                0.0,
-                pe_weights,
+            _posterior_predictive_sites(
+                pe_weights, inj_weights, pedata, injdata, param_names, Nobs,
+                marginal_qs=marginal_qs, indv_weights=indv_weights,
+                m1min=m1min, m2min=m2min, mmax=mmax, log=log,
             )
-            inj_weights = jnp.where(
-                jnp.less(injdata["mass_1"], m1min)
-                | jnp.greater(injdata["mass_1"], mmax)
-                | jnp.less(injdata["mass_1"] * injdata["mass_ratio"], m2min),
-                0.0,
-                inj_weights,
-            )
-            # fixed per-event keys: a reference quirk preserved for parity
-            # (analysis.py:340) -- PPC draws are deterministic given weights
-            for ev in range(Nobs):
-                k = jax.random.PRNGKey(ev)
-                k1, k2 = jax.random.split(k)
-                obs_idx = jax.random.choice(
-                    k1,
-                    pe_weights.shape[1],
-                    p=pe_weights[ev, :] / jnp.sum(pe_weights[ev, :]),
-                )
-                if marginal_qs:
-                    for i in range(len(indv_weights)):
-                        ppl.deterministic(
-                            f"cat_frac_subpop_{i + 1}_event_{ev}",
-                            indv_weights[i][ev, obs_idx] / pe_weights[ev, obs_idx],
-                        )
-                pred_idx = jax.random.choice(k2, inj_weights.shape[0], p=inj_weights / jnp.sum(inj_weights))
-                for p in param_names:
-                    ppl.deterministic(f"{p}_obs_event_{ev}", pedata[p][ev, obs_idx])
-                    ppl.deterministic(f"{p}_pred_event_{ev}", injdata[p][pred_idx])
     return rate
+
+
+def _posterior_predictive_sites(
+    pe_weights, inj_weights, pedata, injdata, param_names, Nobs,
+    marginal_qs=False, indv_weights=None, m1min=5.0, m2min=3.0, mmax=100.0, log=False,
+):
+    """Reweighted observed/predicted draws per event, emitted as deterministic
+    sites ``{param}_{obs,pred}_event_{i}``.
+
+    Semantics: gwinferno/pipeline/analysis.py:321-355, with the per-event
+    python loop of ``jax.random.choice`` ops over the full banks replaced by
+    ONE vmapped batch of categorical draws (the reference pattern unrolled
+    Nobs x len(param_names) choice programs into every trace -- compile-time
+    poison).  The reference's fixed per-event keys (``PRNGKey(ev)``,
+    analysis.py:340) are preserved: draws are deterministic given weights.
+    """
+    if log:
+        pe_weights = jnp.exp(pe_weights)
+        inj_weights = jnp.exp(inj_weights)
+    pe_weights = jnp.where(
+        jnp.less(pedata["mass_1"], m1min)
+        | jnp.greater(pedata["mass_1"], mmax)
+        | jnp.less(pedata["mass_1"] * pedata["mass_ratio"], m2min),
+        0.0,
+        pe_weights,
+    )
+    inj_weights = jnp.where(
+        jnp.less(injdata["mass_1"], m1min)
+        | jnp.greater(injdata["mass_1"], mmax)
+        | jnp.less(injdata["mass_1"] * injdata["mass_ratio"], m2min),
+        0.0,
+        inj_weights,
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(Nobs))
+    split = jax.vmap(jax.random.split)(keys)  # (Nobs, 2, key)
+    k1, k2 = split[:, 0], split[:, 1]
+    n_samp, n_found = pe_weights.shape[1], inj_weights.shape[0]
+    obs_idx = jax.vmap(lambda k, w: jax.random.choice(k, n_samp, p=w / jnp.sum(w)))(k1, pe_weights)
+    pred_idx = jax.vmap(lambda k: jax.random.choice(k, n_found, p=inj_weights / jnp.sum(inj_weights)))(k2)
+    for ev in range(Nobs):
+        if marginal_qs:
+            for i in range(len(indv_weights)):
+                ppl.deterministic(
+                    f"cat_frac_subpop_{i + 1}_event_{ev}",
+                    indv_weights[i][ev, obs_idx[ev]] / pe_weights[ev, obs_idx[ev]],
+                )
+        for p in param_names:
+            ppl.deterministic(f"{p}_obs_event_{ev}", pedata[p][ev, obs_idx[ev]])
+            ppl.deterministic(f"{p}_pred_event_{ev}", injdata[p][pred_idx[ev]])
 
 
 def construct_hierarchical_model(
