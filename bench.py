@@ -26,11 +26,12 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-WARMUP = int(os.environ.get("BENCH_WARMUP", 500))
-SAMPLES = int(os.environ.get("BENCH_SAMPLES", 500))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 300))
+SAMPLES = int(os.environ.get("BENCH_SAMPLES", 300))
 N_CHAINS = int(os.environ.get("BENCH_CHAINS", 16))
 DENSE_MASS = os.environ.get("BENCH_DENSE_MASS", "1") == "1"
 MMIN, MMAX = 5.0, 100.0
+RETRIES = int(os.environ.get("BENCH_RETRIES", 3))
 
 
 def ensure_data():
@@ -46,12 +47,15 @@ def make_model(pedict, injdict, constants, z_model):
 
     This is the reference's canonical test-catalog model
     (tests/inference_test.py:162-198: spinless powerlaw mass + redshift on
-    the checked-in nospin GWTC-3 file) with the PR1 config's Gaussian peak
-    added.  Spin dimensions are deliberately excluded: the 1000-sample
-    downsampled banks give spin-weighted populations a per-event n_eff right
-    at the min_neff_cut wall (~86 vs cut 69), so every NUTS trajectory
-    diverges -- with the reference's own spinless test model the headroom is
-    ~3.3x and sampling is clean.
+    the checked-in nospin GWTC-3 file, min_neff_cut=False) with the PR1
+    config's Gaussian peak added.  Two deliberate choices, both matching the
+    reference's own use of THIS catalog: spins excluded (the 1000-sample
+    downsampled banks put spin-weighted populations' per-event n_eff at ~86
+    vs the wall at 69) and min_neff_cut off (the cut is a production-scale
+    convergence guard; on the downsampled catalog the posterior bulk sits
+    within half a warmup step of the wall, so every NUTS trajectory
+    terminates by 'divergence' against it -- measured: 99% divergence rate
+    with the cut, walls reached ~7 leapfrog steps from the fiducial).
     """
     import jax.numpy as jnp
 
@@ -90,7 +94,7 @@ def make_model(pedict, injdict, constants, z_model):
             Tobs=constants["obs_time"],
             surveyed_hypervolume=z_model.normalization(lamb),
             marginalize_selection=False,
-            min_neff_cut=True,
+            min_neff_cut=False,
             log=True,
         )
 
@@ -148,6 +152,10 @@ def main():
         num_warmup=WARMUP,
         num_samples=SAMPLES,
         num_chains=N_CHAINS,
+        progress_bar=True,  # stderr; stdout stays one JSON line
+        # bound single device executions: >0(100)-step XLA programs have
+        # faulted on the remote-TPU tunnel (equal segments reuse 1 executable)
+        max_steps_per_call=int(os.environ.get("BENCH_SEG", 100)),
     )
 
     with timer("compile+first_run"):
@@ -195,5 +203,21 @@ def main():
     print(json.dumps(result))
 
 
+def _main_with_retries():
+    """The remote-TPU tunnel intermittently faults whole processes
+    (UNAVAILABLE: TPU device error) under sustained load; a fresh process
+    recovers.  Re-exec ourselves up to RETRIES times; the child's stdout
+    (the one JSON line) passes through."""
+    for attempt in range(RETRIES):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env={**os.environ, "BENCH_INNER": "1"})
+        if r.returncode == 0:
+            return 0
+        print(f"bench attempt {attempt + 1}/{RETRIES} failed (rc={r.returncode}); retrying", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1" or RETRIES <= 1:
+        main()
+    else:
+        sys.exit(_main_with_retries())

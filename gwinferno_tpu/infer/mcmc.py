@@ -25,6 +25,7 @@ TPU-first design decisions (vs the reference's delegation to NumPyro):
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -92,6 +93,7 @@ class MCMC:
         jit_model_args=False,
         mesh=None,
         chain_axis="chain",
+        max_steps_per_call=None,
     ):
         if chain_method not in _CHAIN_METHODS:
             raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
@@ -111,6 +113,7 @@ class MCMC:
         self.collective_adaptation = collective_adaptation
         self.chain_method = chain_method
         self.progress_bar = progress_bar
+        self.max_steps_per_call = max_steps_per_call
         self.mesh = mesh
         self.chain_axis = chain_axis
         self._samples = None
@@ -401,11 +404,22 @@ class MCMC:
         return self
 
     def _run_scan(self, scan_fn, carry, xs, num_warmup):
-        """Run the fused scan, optionally segmented for progress output."""
+        """Run the fused scan, segmented when progress output or a device
+        step cap asks for it.
+
+        Segments of equal length re-dispatch ONE compiled executable (the
+        schedule flags are data, not shapes).  ``max_steps_per_call`` bounds
+        the length of a single device execution -- long-running single XLA
+        programs have been observed to fault on the remote-TPU tunnel.
+        """
         T = xs[0].shape[0]
-        if not self.progress_bar or T <= 1:
+        seg = T
+        if self.max_steps_per_call:
+            seg = min(seg, int(self.max_steps_per_call))
+        if self.progress_bar:
+            seg = min(seg, max(1, T // 10))
+        if seg >= T:
             return scan_fn(carry, xs)
-        seg = max(1, T // 10)
         outs = []
         t0 = time.time()
         done = 0
@@ -416,10 +430,15 @@ class MCMC:
             carry, out = scan_fn(carry, xs_seg)
             outs.append(out)
             done += n
-            ndiv += int(jnp.sum(out["diverging"]))
-            phase = "warmup" if done <= num_warmup else "sample"
-            rate = done / max(time.time() - t0, 1e-9)
-            print(f"[mcmc] {phase} step {done}/{T}  ({rate:.2f} it/s, {ndiv} divergences)", flush=True)
+            if self.progress_bar:
+                jax.block_until_ready(out["diverging"])
+                ndiv += int(jnp.sum(out["diverging"]))
+                phase = "warmup" if done <= num_warmup else "sample"
+                rate = done / max(time.time() - t0, 1e-9)
+                print(
+                    f"[mcmc] {phase} step {done}/{T}  ({rate:.2f} it/s, {ndiv} divergences)",
+                    file=sys.stderr, flush=True,
+                )
         collected = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
         return carry, collected
 

@@ -152,11 +152,19 @@ class SMC:
         def temper_pe(beta, pe_post, pe_base):
             return beta * pe_post + (1.0 - beta) * pe_base
 
+        def particle_cov(z):
+            """Particle covariance as explicit moment sums: mean + one
+            ``centered.T @ centered`` contraction over the particle axis.
+            Under a sharded particle axis both lower to local work + psum
+            over ICI -- ``jnp.cov`` would force an all-gather of the full
+            particle matrix every stage."""
+            mean = jnp.mean(z, axis=0)
+            centered = z - mean
+            return centered.T @ centered / (z.shape[0] - 1.0)
+
         def mutate(key, z, pe_post, pe_base, beta, scale):
             """num_mutation_steps sweeps of preconditioned RWM at pi_beta."""
-            cov_chol = jnp.linalg.cholesky(
-                jnp.cov(z, rowvar=False).reshape(dim, dim) + 1e-8 * jnp.eye(dim, dtype=dtype)
-            )
+            cov_chol = jnp.linalg.cholesky(particle_cov(z) + 1e-8 * jnp.eye(dim, dtype=dtype))
 
             def sweep(carry, key):
                 z, pe_post, pe_base, n_acc = carry

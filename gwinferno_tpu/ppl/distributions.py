@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import betaln
 from jax.scipy.special import erf
 from jax.scipy.special import gammaln
@@ -45,20 +46,50 @@ def _ndtr(z):
     return 0.5 * (1.0 + erf(z / jnp.sqrt(2.0)))
 
 
+def _concrete(x):
+    """numpy view of x when it is a concrete value; None under tracing."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    try:
+        return np.asarray(x)
+    except (TypeError, ValueError):  # pragma: no cover - exotic inputs
+        return None
+
+
 class Distribution:
     """Base distribution.
 
     ``batch_shape`` broadcasts over parameters; ``event_shape`` is the trailing
     shape of a single draw.  ``support`` is a :mod:`constraints` descriptor
     whose bijector maps unconstrained space onto the support.
+
+    ``arg_constraints`` maps parameter name -> (predicate, description); the
+    numpyro-parity eager check (reference
+    gwinferno/numpyro_distributions.py:27-61 via numpyro's arg_constraints):
+    malformed CONCRETE arguments (a Uniform(high<low), a negative scale from
+    a bad config) raise immediately instead of silently sampling garbage.
+    Traced arguments (hyperparameters mid-inference) skip the check -- their
+    invalid regions are handled by the where-guarded log_probs.
     """
 
     support = constraints.real
     event_ndim = 0
+    arg_constraints = {}
 
     def __init__(self, batch_shape=(), event_shape=()):
         self.batch_shape = tuple(batch_shape)
         self.event_shape = tuple(event_shape)
+        self._validate_args()
+
+    def _validate_args(self):
+        for name, (pred, desc) in self.arg_constraints.items():
+            val = _concrete(getattr(self, name, None))
+            if val is None:
+                continue
+            if not np.all(pred(val)):
+                raise ValueError(
+                    f"{type(self).__name__}: argument '{name}' must be {desc}, got {val!r}"
+                )
 
     @property
     def shape(self):
@@ -76,6 +107,7 @@ class Distribution:
 
 class Normal(Distribution):
     support = constraints.real
+    arg_constraints = {"scale": (lambda v: v > 0, "positive")}
 
     def __init__(self, loc=0.0, scale=1.0):
         self.loc, self.scale = loc, scale
@@ -98,6 +130,7 @@ class Normal(Distribution):
 
 class HalfNormal(Distribution):
     support = constraints.positive
+    arg_constraints = {"scale": (lambda v: v > 0, "positive")}
 
     def __init__(self, scale=1.0):
         self.scale = scale
@@ -115,6 +148,7 @@ class HalfNormal(Distribution):
 
 class LogNormal(Distribution):
     support = constraints.positive
+    arg_constraints = {"scale": (lambda v: v > 0, "positive")}
 
     def __init__(self, loc=0.0, scale=1.0):
         self.loc, self.scale = loc, scale
@@ -132,8 +166,11 @@ class LogNormal(Distribution):
 
 
 class Uniform(Distribution):
+    arg_constraints = {"_width": (lambda v: v > 0, "high > low")}
+
     def __init__(self, low=0.0, high=1.0):
         self.low, self.high = low, high
+        self._width = None if (_concrete(low) is None or _concrete(high) is None) else _concrete(high) - _concrete(low)
         super().__init__(jnp.broadcast_shapes(jnp.shape(low), jnp.shape(high)))
         self.support = constraints.interval(low, high)
 
@@ -154,6 +191,7 @@ class Uniform(Distribution):
 
 class Gamma(Distribution):
     support = constraints.positive
+    arg_constraints = {"concentration": (lambda v: v > 0, "positive"), "rate": (lambda v: v > 0, "positive")}
 
     def __init__(self, concentration, rate=1.0):
         self.concentration, self.rate = concentration, rate
@@ -172,6 +210,7 @@ class Gamma(Distribution):
 
 class Exponential(Distribution):
     support = constraints.positive
+    arg_constraints = {"rate": (lambda v: v > 0, "positive")}
 
     def __init__(self, rate=1.0):
         self.rate = rate
@@ -188,6 +227,7 @@ class Exponential(Distribution):
 
 class Beta(Distribution):
     support = constraints.unit_interval
+    arg_constraints = {"concentration1": (lambda v: v > 0, "positive"), "concentration0": (lambda v: v > 0, "positive")}
 
     def __init__(self, concentration1, concentration0):
         self.concentration1, self.concentration0 = concentration1, concentration0
@@ -207,6 +247,7 @@ class Beta(Distribution):
 class Dirichlet(Distribution):
     support = constraints.simplex
     event_ndim = 1
+    arg_constraints = {"concentration": (lambda v: v > 0, "positive")}
 
     def __init__(self, concentration):
         self.concentration = jnp.asarray(concentration)
@@ -254,8 +295,14 @@ class Categorical(Distribution):
 
 
 class TruncatedNormal(Distribution):
+    arg_constraints = {
+        "scale": (lambda v: v > 0, "positive"),
+        "_width": (lambda v: v > 0, "high > low"),
+    }
+
     def __init__(self, loc=0.0, scale=1.0, low=-jnp.inf, high=jnp.inf):
         self.loc, self.scale, self.low, self.high = loc, scale, low, high
+        self._width = None if (_concrete(low) is None or _concrete(high) is None) else _concrete(high) - _concrete(low)
         super().__init__(jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale), jnp.shape(low), jnp.shape(high)))
         self.support = constraints.interval(low, high)
         self._lcdf = _ndtr((low - loc) / scale)

@@ -19,8 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("GWINF_TPU_TESTS") == "1":
+    # real-TPU test lane (tests/tpu/): keep the ambient platform and f32.
+    # Run with:  GWINF_TPU_TESTS=1 python -m pytest tests/tpu -q
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # make the repo root importable regardless of pytest rootdir resolution
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

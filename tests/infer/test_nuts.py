@@ -174,6 +174,28 @@ def test_smc_sharded_particles():
     assert abs(x.std() - 1.0) < 0.2
 
 
+def test_smc_sharded_matches_unsharded():
+    """The sharded run is the SAME program distributed (explicit moment-sum
+    covariance + collective reductions), so with one seed the particle set
+    must match the unsharded run to float tolerance -- the SMC analogue of
+    test_sharded_mcmc_matches_unsharded."""
+    from gwinferno_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, chain_axis_size=8, axis_names=("chain", "data"))
+
+    kwargs = dict(num_particles=512, num_mutation_steps=3)
+    r1 = SMC(correlated_gaussian_model, **kwargs).run(jax.random.PRNGKey(5))
+    r2 = SMC(correlated_gaussian_model, mesh=mesh, **kwargs).run(jax.random.PRNGKey(5))
+    for k in r1.particles:
+        np.testing.assert_allclose(
+            np.asarray(r1.particles[k]), np.asarray(r2.particles[k]), rtol=1e-8, atol=1e-8
+        )
+    np.testing.assert_allclose(float(r1.log_evidence), float(r2.log_evidence), rtol=1e-8)
+    assert int(r1.num_stages) == int(r2.num_stages)
+
+
 def test_find_reasonable_step_size_moves():
     """Regression: the double/halve loop must actually iterate (a condition
     bug made it return the initial step size after one evaluation)."""

@@ -1,0 +1,141 @@
+"""Real-TPU test lane (VERDICT r1 item 6).
+
+Runs on the ambient TPU only:
+
+    GWINF_TPU_TESTS=1 python -m pytest tests/tpu -q
+
+(the default suite forces CPU in tests/conftest.py and these tests skip).
+Covers exactly what CPU-f64 tests cannot: the compiled (not interpreted)
+Pallas kernels, f32 finiteness of the likelihood/gradient on real data, and
+one NUTS transition + a 20-step mini-run executing on the device.  Parity
+oracle is the same computation on this process's CPU backend (same f32
+precision, different compiler/kernels).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs the ambient TPU (GWINF_TPU_TESTS=1)"
+)
+
+
+def _cpu():
+    return jax.devices("cpu")[0]
+
+
+@pytest.fixture(scope="module")
+def bench_setup():
+    import bench
+    from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel
+    from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
+
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(bench.ensure_data())
+    z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
+    model = bench.make_model(pedict, injdict, constants, z_model)
+    return bench, model
+
+
+def test_fused_double_logsumexp_compiled():
+    """The Pallas kernel COMPILED on the TPU (not interpret mode) against the
+    XLA path, forward and gradient, plain and vmapped."""
+    from gwinferno_tpu.ops.fused import double_logsumexp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 3, (69, 1000)).astype(np.float32))
+    x = x.at[3].set(-jnp.inf)
+
+    p1, p2 = jax.jit(lambda y: double_logsumexp(y, mode="1"))(x)
+    x1, x2 = jax.jit(lambda y: double_logsumexp(y, mode="0"))(x)
+    m = np.isfinite(np.asarray(x1))
+    np.testing.assert_allclose(np.asarray(p1)[m], np.asarray(x1)[m], rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p2)[m], np.asarray(x2)[m], rtol=2e-5)
+    assert np.asarray(p1)[3] == -np.inf
+
+    def loss(mode):
+        def f(y):
+            l1, l2 = double_logsumexp(y, mode=mode)
+            ok = jnp.isfinite(l1)
+            return jnp.sum(jnp.where(ok, jnp.sin(l1) + 0.3 * l2, 0.0))
+
+        return f
+
+    gp = jax.jit(jax.grad(loss("1")))(x)
+    gx = jax.jit(jax.grad(loss("0")))(x)
+    mg = np.isfinite(np.asarray(gx)) & np.isfinite(np.asarray(gp))
+    assert mg[np.isfinite(np.asarray(x))].all()
+    np.testing.assert_allclose(np.asarray(gp)[mg], np.asarray(gx)[mg], atol=2e-4)
+
+    xb = jnp.asarray(rng.normal(0, 2, (8, 16, 257)).astype(np.float32))
+    v1, _ = jax.jit(jax.vmap(lambda y: double_logsumexp(y, mode="1")))(xb)
+    w1, _ = jax.jit(jax.vmap(lambda y: double_logsumexp(y, mode="0")))(xb)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(w1), rtol=2e-5)
+
+
+def test_potential_and_grad_f32_on_device(bench_setup):
+    """f32 potential + gradient at the fiducial point: finite, off-wall, and
+    matching the CPU backend's f32 result."""
+    import jax.flatten_util
+
+    from gwinferno_tpu.ppl.infer_util import potential_energy, unconstrain_fn
+
+    bench, model = bench_setup
+    fid = {k: jnp.asarray(v, jnp.float32) for k, v in bench.FIDUCIAL_INIT.items()}
+    u = unconstrain_fn(model, (), {}, params=fid)
+
+    def pe_and_grad(p):
+        return jax.value_and_grad(lambda q: potential_energy(model, (), {}, q))(p)
+
+    pe_tpu, grad_tpu = jax.jit(pe_and_grad)(u)
+    g_tpu, _ = jax.flatten_util.ravel_pytree(grad_tpu)
+    assert np.isfinite(float(pe_tpu)) and abs(float(pe_tpu)) < 1e30
+    assert np.all(np.isfinite(np.asarray(g_tpu)))
+
+    with jax.default_device(_cpu()):
+        u_cpu = jax.device_put(u, _cpu())
+        pe_cpu, grad_cpu = jax.jit(pe_and_grad)(u_cpu)
+        g_cpu, _ = jax.flatten_util.ravel_pytree(grad_cpu)
+    np.testing.assert_allclose(float(pe_tpu), float(pe_cpu), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_tpu), np.asarray(g_cpu), rtol=1e-2, atol=1e-3)
+
+
+def test_nuts_transition_and_mini_run(bench_setup):
+    """One jitted NUTS transition + a 20w+20s mini-run execute on the TPU
+    with finite, moving chains."""
+    import jax.flatten_util
+
+    from gwinferno_tpu.infer import MCMC, NUTS
+    from gwinferno_tpu.infer.hmc_util import identity_mass_matrix
+    from gwinferno_tpu.infer.nuts import nuts_init, nuts_transition
+    from gwinferno_tpu.ppl.infer_util import potential_energy, unconstrain_fn
+
+    bench, model = bench_setup
+    fid = {k: jnp.asarray(v, jnp.float32) for k, v in bench.FIDUCIAL_INIT.items()}
+    u = unconstrain_fn(model, (), {}, params=fid)
+    zflat, unravel = jax.flatten_util.ravel_pytree(u)
+
+    def pot(z):
+        return potential_energy(model, (), {}, unravel(z))
+
+    mm = identity_mass_matrix(zflat.shape[0], dtype=zflat.dtype)
+    st = nuts_init(pot, zflat)
+    st = jax.jit(lambda s, k: nuts_transition(pot, s, mm, jnp.asarray(0.05, zflat.dtype), k))(
+        st, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(st.pe)) and int(st.num_steps) >= 1
+
+    bench.N_CHAINS = 2
+    mcmc = MCMC(NUTS(model, dense_mass=True), num_warmup=20, num_samples=20, num_chains=2)
+    mcmc.run(jax.random.PRNGKey(0), init_params=bench.make_init(0))
+    s = mcmc.get_samples()
+    flat = np.concatenate([np.asarray(v).ravel() for v in s.values()])
+    assert np.all(np.isfinite(flat))
+    assert np.asarray(s["alpha"]).std() > 0  # chains actually moved
