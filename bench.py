@@ -35,8 +35,15 @@ RETRIES = int(os.environ.get("BENCH_RETRIES", 3))
 
 
 def ensure_data():
+    """The bench problem: the self-consistent synthetic catalog (69 events
+    drawn from a KNOWN powerlaw+peak population, detected by the same proxy
+    search that produced the injection bank, flat-prior Gaussian PE clouds --
+    make_synthetic_injections.TRUE_POP).  The real GWTC-3 test catalog makes
+    this model ill-posed (broad PE z-tails admit MC-artifact runaway modes
+    through the n_eff cuts); it remains the fixture for the shape/contract
+    tests."""
     gen = os.path.join(HERE, "tests", "data", "make_synthetic_injections.py")
-    target = os.path.join(HERE, "tests", "data", "pe_inj_file.h5")
+    target = os.path.join(HERE, "tests", "data", "pe_inj_synthetic.h5")
     if not os.path.exists(target) or os.path.getmtime(target) < os.path.getmtime(gen):
         subprocess.run([sys.executable, gen], check=True)
     return target
@@ -47,15 +54,15 @@ def make_model(pedict, injdict, constants, z_model):
 
     This is the reference's canonical test-catalog model
     (tests/inference_test.py:162-198: spinless powerlaw mass + redshift on
-    the checked-in nospin GWTC-3 file, min_neff_cut=False) with the PR1
-    config's Gaussian peak added.  Two deliberate choices, both matching the
-    reference's own use of THIS catalog: spins excluded (the 1000-sample
+    the checked-in nospin GWTC-3 file) with the PR1 config's Gaussian peak
+    added and the production min_neff_cut=True.  Spins are excluded,
+    matching the reference's own use of THIS catalog: the 1000-sample
     downsampled banks put spin-weighted populations' per-event n_eff at ~86
-    vs the wall at 69) and min_neff_cut off (the cut is a production-scale
-    convergence guard; on the downsampled catalog the posterior bulk sits
-    within half a warmup step of the wall, so every NUTS trajectory
-    terminates by 'divergence' against it -- measured: 99% divergence rate
-    with the cut, walls reached ~7 leapfrog steps from the fiducial).
+    vs the wall at 69, so every trajectory terminates against the wall.  The
+    synthetic injection bank's detection horizon is tuned so found
+    injections match the catalog's redshift reach (make_synthetic_injections
+    D0_MPC); with the earlier too-deep bank the fit ran to lamb ~ -6 jammed
+    on the n_eff walls regardless of the cut setting.
     """
     import jax.numpy as jnp
 
@@ -94,7 +101,7 @@ def make_model(pedict, injdict, constants, z_model):
             Tobs=constants["obs_time"],
             surveyed_hypervolume=z_model.normalization(lamb),
             marginalize_selection=False,
-            min_neff_cut=False,
+            min_neff_cut=True,
             log=True,
         )
 
@@ -153,9 +160,11 @@ def main():
         num_samples=SAMPLES,
         num_chains=N_CHAINS,
         progress_bar=True,  # stderr; stdout stays one JSON line
-        # bound single device executions: >0(100)-step XLA programs have
-        # faulted on the remote-TPU tunnel (equal segments reuse 1 executable)
-        max_steps_per_call=int(os.environ.get("BENCH_SEG", 100)),
+        # bound single device executions: O(100)-step XLA programs (~2 min
+        # per call) have faulted on the remote-TPU tunnel; 25-step segments
+        # survive sustained multi-run sessions (equal segments reuse ONE
+        # compiled executable, so the only cost is dispatch)
+        max_steps_per_call=int(os.environ.get("BENCH_SEG", 25)),
     )
 
     with timer("compile+first_run"):

@@ -35,9 +35,13 @@ from utils import run_bspline_analysis  # noqa: E402
 from utils import setup_result_dir  # noqa: E402
 
 
-def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names):
+def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names, fused_lik=None):
     """B-spline mass/ratio/spins/redshift model (parity: reference
-    examples/simple_bspline_example.py:25-89)."""
+    examples/simple_bspline_example.py:25-89).
+
+    With ``fused_lik`` (a FusedBSplineLikelihood) the weight products and
+    per-event/injection reductions run as ONE fused Pallas MXU pass instead
+    of materializing the weight banks."""
     n_m = mass_models.primary_model.n_splines
     n_q = mass_models.ratio_model.n_splines
     n_a = mag_model.primary_model.n_splines
@@ -48,6 +52,20 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model,
     a_cs, tilt_cs = bspline_spin_prior(a_nsplines=n_a, ct_nsplines=n_ct, a_tau=25, ct_tau=25, IID=True)
     z_cs = bspline_redshift_prior(z_nsplines=n_z, z_tau=1)
     lamb = ppl.sample("lamb", dist.Normal(0, 3))
+
+    if fused_lik is not None:
+        logBFs, log_n_effs, log_mu, log_n_eff_inj = fused_lik(mass_cs, q_cs, a_cs, tilt_cs, z_cs, lamb)
+        hierarchical_likelihood(
+            None,
+            None,
+            float(Ninj),
+            Nobs,
+            Tobs,
+            surveyed_hypervolume=z_model.normalization(lamb, z_cs),
+            pe_summaries=(logBFs, log_n_effs, fused_lik.n_samples),
+            inj_summaries=(log_mu, log_n_eff_inj),
+        )
+        return
 
     def get_weights(datadict, pe_samples=True):
         p_m1q = mass_models(mass_cs, q_cs, pe_samples=pe_samples)

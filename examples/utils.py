@@ -64,7 +64,9 @@ def run_powerlawpeak_analysis(model, pedict, injdict, constants, param_names, ar
 
 def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, skip_inference=False):
     """Build all B-spline models, run NUTS, return (posterior, models).
-    Parity: examples/utils.py:34-90."""
+    Parity: examples/utils.py:34-90.  With ``args.fused`` the importance-weight
+    reductions run through the fused Pallas TPU kernel
+    (gwinferno_tpu.models.bsplines.fused_path)."""
     mass_model = setup_bspline_mass_models(
         pedict, injdict, args.m_nsplines, args.q_nsplines, args.mmin, args.mmax
     )
@@ -73,6 +75,14 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
     models = {"mass": mass_model, "mag": mag_model, "tilt": tilt_model, "z": z_model}
     if skip_inference:
         return models
+
+    fused_lik = None
+    if getattr(args, "fused", False):
+        from gwinferno_tpu.models.bsplines.fused_path import FusedBSplineLikelihood
+
+        fused_lik = FusedBSplineLikelihood(
+            mass_model, mag_model, tilt_model, z_model, pedict, injdict, constants["total_inj"]
+        )
 
     def bound_model():
         model(
@@ -88,6 +98,7 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
             args.mmin,
             args.mmax,
             param_names,
+            fused_lik=fused_lik,
         )
 
     mcmc = MCMC(

@@ -197,7 +197,7 @@ def _fused_kernel(coefs_ref, design_ref, nlp_ref, logbf_ref, logneff_ref, m_acc,
     for e in range(event_tile):
         d = design_ref[:, e, :]  # (K, S_CHUNK)
         logw = jax.lax.dot_general(
-            c, d, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            c, d, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=c.dtype
         ) + nlp_ref[e, :][None, :]  # (C, S_CHUNK)
         m_new = jnp.maximum(m_acc[e, :], jnp.max(logw, axis=-1))
         scale = jnp.exp(m_acc[e, :] - m_new)
@@ -213,19 +213,89 @@ def _fused_kernel(coefs_ref, design_ref, nlp_ref, logbf_ref, logneff_ref, m_acc,
         logneff_ref[:] = 2.0 * logBF - (2.0 * m_acc[:] + jnp.log(s2_acc[:]))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flw_core(coefs, d3, nlp2, event_tile, chunk, interpret):
+    """Raw fused matmul + double logsumexp over the padded 3-D layout.
+
+    coefs (C, K); d3 (K, E_pad, S_pad); nlp2 (E_pad, S_pad).
+    Returns raw ``(lse1, lse2)`` each (C, E_pad) where
+    lse_k = logsumexp_s(k * (coefs @ d3 + nlp2)).
+
+    Differentiable in ``coefs`` and ``nlp2``; the DESIGN MATRIX is treated as
+    a constant (cached bank, SURVEY.md S3.2) -- its cotangent is zero.
+    """
+    E_pad = d3.shape[1]
+    grid = (E_pad // event_tile, d3.shape[2] // chunk)
+    C = coefs.shape[0]
+    out_shape = (
+        jax.ShapeDtypeStruct((E_pad, C), coefs.dtype),
+        jax.ShapeDtypeStruct((E_pad, C), coefs.dtype),
+    )
+    logBF_t, log_neff_t = pl.pallas_call(
+        functools.partial(_fused_kernel, event_tile=event_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((C, coefs.shape[1]), lambda i, j: (0, 0)),
+            pl.BlockSpec((coefs.shape[1], event_tile, chunk), lambda i, j: (0, i, j)),
+            pl.BlockSpec((event_tile, chunk), lambda i, j: (i, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((event_tile, C), lambda i, j: (i, 0)),
+            pl.BlockSpec((event_tile, C), lambda i, j: (i, 0)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((event_tile, C), coefs.dtype),
+            pltpu.VMEM((event_tile, C), coefs.dtype),
+            pltpu.VMEM((event_tile, C), coefs.dtype),
+        ],
+        interpret=interpret,
+    )(coefs, d3, nlp2)
+    # kernel emits (lse1^T, (2*lse1 - lse2)^T); recover raw lse2
+    lse1 = logBF_t.T
+    lse2 = 2.0 * lse1 - log_neff_t.T
+    return lse1, lse2
+
+
+def _flw_fwd(coefs, d3, nlp2, event_tile, chunk, interpret):
+    out = _flw_core(coefs, d3, nlp2, event_tile, chunk, interpret)
+    return out, (coefs, d3, nlp2, *out)
+
+
+def _flw_bwd(event_tile, chunk, interpret, res, g):
+    """Rematerializing backward: one (C,K)@(K,E*S) matmul rebuilds the
+    log-weights, then d_coefs comes back through a second matmul -- the
+    (C,E,S) tensor exists only transiently inside this fused region."""
+    coefs, d3, nlp2, lse1, lse2 = res
+    g1, g2 = g
+    K, E_pad, S_pad = d3.shape
+    logw = jnp.einsum("ck,kes->ces", coefs, d3) + nlp2  # (C, E_pad, S_pad)
+    neg = nlp2 == -jnp.inf
+    w1 = jnp.where(neg, 0.0, jnp.exp(logw - lse1[..., None]))
+    w2 = jnp.where(neg, 0.0, jnp.exp(2.0 * logw - lse2[..., None]))
+    dlogw = g1[..., None] * w1 + 2.0 * g2[..., None] * w2
+    d_coefs = jnp.einsum("ces,kes->ck", dlogw, d3)
+    d_nlp2 = jnp.sum(dlogw, axis=0)
+    return d_coefs, jnp.zeros_like(d3), d_nlp2
+
+
+_flw_core.defvjp(_flw_fwd, _flw_bwd)
+
+
 def fused_logweight_logsumexp(coefs, design, neg_log_prior, n_events, n_samples, event_tile=8, sample_chunk=1024, interpret=False):
     """Fused batched log-weight + per-event reductions as a Pallas TPU kernel.
 
     Falls back to the XLA reference when not on TPU.  Shapes as in
     :func:`fused_logweight_logsumexp_xla`.  The sample axis is padded to a
     lane multiple and streamed in ``sample_chunk`` pieces with online
-    max/sum accumulation, so arbitrarily large banks fit in VMEM.
+    max/sum accumulation, so arbitrarily large banks fit in VMEM.  Carries a
+    custom VJP (rematerializing backward) so it can sit directly on the NUTS
+    hot path; gradients flow to ``coefs`` and ``neg_log_prior`` but NOT the
+    design matrix (a cached constant).
     """
     platform = jax.devices()[0].platform
     if platform not in ("tpu",) and not interpret:
         return fused_logweight_logsumexp_xla(coefs, design, neg_log_prior, n_events, n_samples)
-
-    from jax.experimental import pallas as pl  # noqa: F811
 
     C, K = coefs.shape
     E, S = n_events, n_samples
@@ -246,33 +316,9 @@ def fused_logweight_logsumexp(coefs, design, neg_log_prior, n_events, n_samples,
         d3 = jnp.pad(d3, ((0, 0), (0, E_pad - E), (0, 0)))
         nlp2 = jnp.pad(nlp2, ((0, E_pad - E), (0, 0)), constant_values=-jnp.inf)
 
-    grid = (E_pad // event_tile, S_pad // chunk)
-    out_shape = (
-        jax.ShapeDtypeStruct((E_pad, C), coefs.dtype),
-        jax.ShapeDtypeStruct((E_pad, C), coefs.dtype),
-    )
-    logBF_t, log_neff_t = pl.pallas_call(
-        functools.partial(_fused_kernel, event_tile=event_tile),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((C, K), lambda i, j: (0, 0)),
-            pl.BlockSpec((K, event_tile, chunk), lambda i, j: (0, i, j)),
-            pl.BlockSpec((event_tile, chunk), lambda i, j: (i, j)),
-        ],
-        out_specs=(
-            pl.BlockSpec((event_tile, C), lambda i, j: (i, 0)),
-            pl.BlockSpec((event_tile, C), lambda i, j: (i, 0)),
-        ),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((event_tile, C), jnp.float32),
-            pltpu.VMEM((event_tile, C), jnp.float32),
-            pltpu.VMEM((event_tile, C), jnp.float32),
-        ],
-        interpret=interpret,
-    )(coefs, d3, nlp2)
-    logBF = logBF_t.T[:, :E] - jnp.log(S * 1.0)
-    log_neff = log_neff_t.T[:, :E]
+    lse1, lse2 = _flw_core(coefs, d3, nlp2, event_tile, chunk, interpret)
+    logBF = lse1[:, :E] - jnp.log(S * 1.0)
+    log_neff = 2.0 * lse1[:, :E] - lse2[:, :E]
     return logBF, log_neff
 
 

@@ -124,6 +124,8 @@ def hierarchical_likelihood(
     m1min=5.0,
     mmax=100.0,
     log=False,
+    pe_summaries=None,
+    inj_summaries=None,
 ):
     """The centerpiece: importance-sampled hierarchical likelihood with rate
     reconstruction, convergence cuts, and deterministic diagnostics.
@@ -133,6 +135,14 @@ def hierarchical_likelihood(
     marginalization, the ``min_neff``/``max_variance`` likelihood walls (and
     their mutual-exclusion rule), the full set of deterministic diagnostic
     sites, and the fixed-key posterior-predictive draws.
+
+    Fused seam: ``pe_summaries=(logBFs, log_n_effs, n_samples)`` /
+    ``inj_summaries=(log_mu, log_n_eff_inj)`` inject reductions computed
+    upstream by the fused Pallas kernel
+    (ops.fused.fused_bspline_per_event_log_bayes_factors) without ever
+    materializing the weight banks; ``pe_weights``/``inj_weights`` may then
+    be ``None`` (pass None for both and keep
+    ``posterior_predictive_check=False``, which needs the raw weights).
 
     Returns the reconstructed ``rate`` (or None).
     """
@@ -154,10 +164,17 @@ def hierarchical_likelihood(
             ).reshape((-1, 1))
             mix_pe_weights = jnp.where(Qs[i] == 0, pe_weights[0][i], pe_weights[1][i])
             logBFs, logn_effs, variances = per_event_log_bayes_factors(mix_pe_weights, log=log)
+    elif pe_summaries is not None:
+        logBFs, logn_effs, n_samples = pe_summaries
+        variances = jnp.exp(-logn_effs) - 1.0 / n_samples
     else:
         logBFs, logn_effs, variances = per_event_log_bayes_factors(pe_weights, log=log)
 
-    log_det_eff, logn_eff_inj, variance = detection_efficiency(inj_weights, total_inj, log=log)
+    if inj_summaries is not None:
+        log_det_eff, logn_eff_inj = inj_summaries
+        variance = jnp.exp(-logn_eff_inj) - 1.0 / total_inj
+    else:
+        log_det_eff, logn_eff_inj, variance = detection_efficiency(inj_weights, total_inj, log=log)
     ppl.deterministic("log_nEff_inj", logn_eff_inj)
     ppl.deterministic("log_nEffs", logn_effs)
     ppl.deterministic("logBFs", logBFs)

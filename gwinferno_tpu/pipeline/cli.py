@@ -16,9 +16,11 @@ from gwinferno_tpu.pipeline.parser import ConfigReader
 from gwinferno_tpu.pipeline.parser import load_model_from_python_file
 from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
 from gwinferno_tpu.pipeline.utils import posterior_dict_to_xarray
+from gwinferno_tpu.utils.prof import Timer
 
 
 def run_inference(config_file, inspect=False, rng_seed=0):
+    timer = Timer()
     reader = ConfigReader()
     reader.parse(config_file)
 
@@ -38,7 +40,10 @@ def run_inference(config_file, inspect=False, rng_seed=0):
     pe_inj_file = data_conf.get("pe_inj_file")
     if pe_inj_file is None:
         raise ValueError("config data block must provide 'pe_inj_file' (pe+injection handoff artifact)")
-    pedict, injdict, constants, param_names = load_pe_and_injections_as_dict(pe_inj_file, ignore=data_conf.get("ignore"))
+    with timer("load_data"):
+        pedict, injdict, constants, param_names = load_pe_and_injections_as_dict(
+            pe_inj_file, ignore=data_conf.get("ignore")
+        )
 
     sampler_conf = reader.sampler_conf or {}
     kernel_cls = NP_KERNEL_MAP[sampler_conf.get("kernel", "NUTS")]
@@ -46,14 +51,16 @@ def run_inference(config_file, inspect=False, rng_seed=0):
     mcmc_kwargs = sampler_conf.get("mcmc_kwargs") or {}
     mcmc = MCMC(kernel, **mcmc_kwargs)
 
-    mcmc.run(
-        jax.random.PRNGKey(rng_seed),
-        pedict,
-        injdict,
-        constants["total_inj"],
-        constants["nObs"],
-        constants["obs_time"],
-    )
+    with timer("mcmc (compile+warmup+sample)"):
+        mcmc.run(
+            jax.random.PRNGKey(rng_seed),
+            pedict,
+            injdict,
+            constants["total_inj"],
+            constants["nObs"],
+            constants["obs_time"],
+        )
+        jax.block_until_ready(mcmc._collected_z)
     mcmc.print_summary()
 
     os.makedirs(reader.outdir, exist_ok=True)
@@ -68,6 +75,7 @@ def run_inference(config_file, inspect=False, rng_seed=0):
     out = os.path.join(reader.outdir, f"{reader.label}_posterior_samples.h5")
     ds.to_hdf5(out)
     print(f"posterior saved: {out}")
+    timer.report()
     return mcmc
 
 

@@ -46,6 +46,8 @@ def load_base_parser():
     parser.add_argument("--a-nsplines", type=int, default=16)
     parser.add_argument("--tilt-nsplines", type=int, default=16)
     parser.add_argument("--z-nsplines", type=int, default=20)
+    parser.add_argument("--fused", action="store_true", default=False,
+                        help="run the importance-weight reductions through the fused Pallas TPU kernel")
     parser.add_argument("--mmin", type=float, default=3.0)
     parser.add_argument("--mmax", type=float, default=100.0)
     parser.add_argument("--chains", type=int, default=1)

@@ -54,6 +54,13 @@ def pe_inj_file():
 
 
 @pytest.fixture(scope="session")
+def pe_inj_synthetic_file():
+    """The self-consistent synthetic-event artifact (the bench problem)."""
+    ensure_test_data()
+    return os.path.join(_DATA_DIR, "pe_inj_synthetic.h5")
+
+
+@pytest.fixture(scope="session")
 def injections_file():
     ensure_test_data()
     return os.path.join(_DATA_DIR, "injections.h5")

@@ -15,6 +15,13 @@ Draw distributions (all densities tracked exactly):
   spins: isotropic directions, uniform magnitudes (vector pdf 1/(4 pi a^2))
 Detection: proxy SNR ~ Mc_det^(5/6)/DL with a random projection factor.
 
+The horizon scale D0 is tuned so the FOUND injections' redshift
+distribution matches the real 69-event catalog (median z_found 0.31 vs
+catalog per-event-median 0.30).  With the earlier D0=10000 the synthetic
+search was ~4x deeper than the instrument that detected the real events,
+and the joint fit pushed the redshift evolution to lamb ~ -6 with the
+posterior jammed against the min_neff walls (round-2 bench post-mortem).
+
 Run from the repo root:  python tests/data/make_synthetic_injections.py
 """
 
@@ -36,12 +43,31 @@ from gwinferno_tpu.cosmology import PLANCK_2015_LVK_Cosmology as cosmo  # noqa: 
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SEED = 20260817
-N_GEN = 3_000_000
+N_GEN = 24_000_000
+CHUNK = 2_000_000
 ALPHA, BETA = -2.35, 1.0
 MMIN, MMAX = 2.0, 100.0
 LAMB_Z = 1.7
 ZMIN, ZMAX = 1e-4, 2.3
 ANALYSIS_TIME_YR = 1.0
+D0_MPC = 1600.0  # proxy-SNR horizon scale (see module docstring)
+
+# --- self-consistent synthetic EVENT catalog (the bench problem) ---------
+# Population truth for the powerlaw+peak bench: events drawn from this
+# population, detected by the SAME proxy search as the injections, with
+# flat-prior Gaussian PE sample clouds.  This makes the hierarchical
+# posterior well-posed with the production min_neff_cut: tight PE clouds
+# keep per-event n_eff ~ S, and extreme hyperparameters are excluded by the
+# data (every event's narrow cloud gets tiny population density) instead of
+# by MC-noise walls.  The REAL 69-event GWTC-3 catalog (kept for the model
+# shape/contract tests) turned out to make this model ill-posed: its broad
+# PE z-tails let runaway hyperparameters (lamb ~ +14 or -6) pass the n_eff
+# cuts via importance-weight saturation, so chains of ANY sampler drift into
+# MC-artifact modes (round-2 bench post-mortem).
+N_EVENTS = 69
+N_PE_SAMPLES = 1000
+TRUE_POP = {"alpha": -2.35, "beta": 1.0, "mmin": 5.0, "mmax": 100.0,
+            "mpp": 35.0, "sigpp": 5.0, "lam_peak": 0.05, "lamb_z": 1.7}
 
 
 def powerlaw_icdf(u, alpha, lo, hi):
@@ -54,35 +80,21 @@ def powerlaw_pdf(x, alpha, lo, hi):
     return ap1 * x**alpha / (hi**ap1 - lo**ap1)
 
 
-def main():
-    rng = np.random.default_rng(SEED)
-
-    # masses
-    m1 = powerlaw_icdf(rng.uniform(size=N_GEN), ALPHA, MMIN, MMAX)
+def _generate_chunk(rng, n, zgrid, pz_grid, cdf):
+    m1 = powerlaw_icdf(rng.uniform(size=n), ALPHA, MMIN, MMAX)
     qmin = MMIN / m1
-    q = powerlaw_icdf(rng.uniform(size=N_GEN), BETA, qmin, 1.0)
+    q = powerlaw_icdf(rng.uniform(size=n), BETA, qmin, 1.0)
     m2 = q * m1
     p_m1 = powerlaw_pdf(m1, ALPHA, MMIN, MMAX)
     p_q = powerlaw_pdf(q, BETA, qmin, 1.0)
-
-    # redshift from a gridded pdf proportional to dVc/dz (1+z)^(LAMB_Z - 1)
-    zgrid = np.linspace(ZMIN, ZMAX, 4000)
-    dVdz = np.asarray(cosmo.dVcdz(zgrid))
-    pz_grid = dVdz * (1 + zgrid) ** (LAMB_Z - 1.0)
-    znorm = np.trapezoid(pz_grid, zgrid)
-    pz_grid = pz_grid / znorm
-    cdf = np.concatenate([[0.0], np.cumsum(0.5 * (pz_grid[1:] + pz_grid[:-1]) * np.diff(zgrid))])
-    cdf /= cdf[-1]
-    z = np.interp(rng.uniform(size=N_GEN), cdf, zgrid)
+    z = np.interp(rng.uniform(size=n), cdf, zgrid)
     p_z = np.interp(z, zgrid, pz_grid)
 
     # spins: uniform magnitude, isotropic direction
-    a1, a2 = rng.uniform(size=N_GEN), rng.uniform(size=N_GEN)
-    ct1, ct2 = rng.uniform(-1, 1, size=N_GEN), rng.uniform(-1, 1, size=N_GEN)
-    phi1, phi2 = rng.uniform(0, 2 * np.pi, size=N_GEN), rng.uniform(0, 2 * np.pi, size=N_GEN)
+    a1, a2 = rng.uniform(size=n), rng.uniform(size=n)
+    ct1, ct2 = rng.uniform(-1, 1, size=n), rng.uniform(-1, 1, size=n)
+    phi1, phi2 = rng.uniform(0, 2 * np.pi, size=n), rng.uniform(0, 2 * np.pi, size=n)
     st1, st2 = np.sqrt(1 - ct1**2), np.sqrt(1 - ct2**2)
-    s1x, s1y, s1z = a1 * st1 * np.cos(phi1), a1 * st1 * np.sin(phi1), a1 * ct1
-    s2x, s2y, s2z = a2 * st2 * np.cos(phi2), a2 * st2 * np.sin(phi2), a2 * ct2
 
     # sampling pdf over (m1, m2, z, s1vec, s2vec):
     #   p(m2|m1) = p(q|m1)/m1 ; spin-vector pdf = 1/(4 pi a^2) each
@@ -91,40 +103,124 @@ def main():
     # detection model: proxy SNR with projection factor
     Mc = (m1 * m2) ** (3.0 / 5.0) / (m1 + m2) ** (1.0 / 5.0)
     DL = np.asarray(cosmo.z2DL(z))
-    snr_opt = 8.0 * ((Mc * (1 + z)) / 25.0) ** (5.0 / 6.0) * (10000.0 / DL)
-    w = rng.uniform(size=N_GEN) ** (1.0 / 3.0)
-    snr_obs = snr_opt * w
-    found = snr_obs > 8.0
-    ifar = np.where(found, 100.0, 1e-3)
-    print(f"found {found.sum()} / {N_GEN} ({found.mean():.2%})")
+    snr_opt = 8.0 * ((Mc * (1 + z)) / 25.0) ** (5.0 / 6.0) * (D0_MPC / DL)
+    w = rng.uniform(size=n) ** (1.0 / 3.0)
+    found = snr_opt * w > 8.0
+    k = found
+    return {
+        "mass1_source": m1[k],
+        "mass2_source": m2[k],
+        "redshift": z[k],
+        "spin1x": (a1 * st1 * np.cos(phi1))[k],
+        "spin1y": (a1 * st1 * np.sin(phi1))[k],
+        "spin1z": (a1 * ct1)[k],
+        "spin2x": (a2 * st2 * np.cos(phi2))[k],
+        "spin2y": (a2 * st2 * np.sin(phi2))[k],
+        "spin2z": (a2 * ct2)[k],
+        "sampling_pdf": sampling_pdf[k],
+        "optimal_snr_net": snr_opt[k],
+    }
+
+
+def _draw_population(rng, n, zgrid, pz_grid, cdf):
+    """Draw n sources from the TRUE powerlaw+peak population."""
+    p = TRUE_POP
+    from_peak = rng.uniform(size=n) < p["lam_peak"]
+    m_pl = powerlaw_icdf(rng.uniform(size=n), p["alpha"], p["mmin"], p["mmax"])
+    # truncated-normal peak by simple resampling
+    m_pk = rng.normal(p["mpp"], p["sigpp"], size=n)
+    bad = (m_pk < p["mmin"]) | (m_pk > p["mmax"])
+    while bad.any():
+        m_pk[bad] = rng.normal(p["mpp"], p["sigpp"], size=bad.sum())
+        bad = (m_pk < p["mmin"]) | (m_pk > p["mmax"])
+    m1 = np.where(from_peak, m_pk, m_pl)
+    q = powerlaw_icdf(rng.uniform(size=n), p["beta"], p["mmin"] / m1, 1.0)
+    z = np.interp(rng.uniform(size=n), cdf, zgrid)
+    return m1, q, z
+
+
+def generate_event_catalog(rng, zgrid, cdf_pop):
+    """Detected synthetic events + flat-prior Gaussian PE sample clouds.
+
+    Returns (n_events, n_params, n_samples) with the real catalog's param
+    row order."""
+    p = TRUE_POP
+    kept = []
+    while sum(len(k[0]) for k in kept) < N_EVENTS:
+        m1, q, z = _draw_population(rng, 200_000, zgrid, None, cdf_pop)
+        m2 = q * m1
+        Mc = (m1 * m2) ** (3.0 / 5.0) / (m1 + m2) ** (1.0 / 5.0)
+        DL = np.asarray(cosmo.z2DL(z))
+        snr = 8.0 * ((Mc * (1 + z)) / 25.0) ** (5.0 / 6.0) * (D0_MPC / DL)
+        w = rng.uniform(size=len(m1)) ** (1.0 / 3.0)
+        det = snr * w > 8.0
+        kept.append((m1[det], q[det], z[det]))
+    m1 = np.concatenate([k[0] for k in kept])[:N_EVENTS]
+    q = np.concatenate([k[1] for k in kept])[:N_EVENTS]
+    z = np.concatenate([k[2] for k in kept])[:N_EVENTS]
+
+    # measurement model: theta_obs = truth + noise; PE samples = posterior
+    # under a flat prior = N(theta_obs, sigma) clouds (prior row == 1)
+    S = N_PE_SAMPLES
+    sig_lnm, sig_q, sig_lnz = 0.08, 0.08, 0.08
+    lnm_obs = np.log(m1) + sig_lnm * rng.standard_normal(N_EVENTS)
+    q_obs = q + sig_q * rng.standard_normal(N_EVENTS)
+    lnz_obs = np.log(z) + sig_lnz * rng.standard_normal(N_EVENTS)
+    m1_s = np.exp(lnm_obs[:, None] + sig_lnm * rng.standard_normal((N_EVENTS, S)))
+    q_s = np.clip(q_obs[:, None] + sig_q * rng.standard_normal((N_EVENTS, S)), 0.02, 1.0)
+    z_s = np.exp(lnz_obs[:, None] + sig_lnz * rng.standard_normal((N_EVENTS, S)))
+    a1_s, a2_s = rng.uniform(size=(N_EVENTS, S)), rng.uniform(size=(N_EVENTS, S))
+    ct1_s, ct2_s = rng.uniform(-1, 1, (N_EVENTS, S)), rng.uniform(-1, 1, (N_EVENTS, S))
+
+    params = ["redshift", "mass_1", "a_1", "cos_tilt_1", "mass_2", "a_2", "cos_tilt_2", "mass_ratio", "prior"]
+    data = np.stack(
+        [z_s, m1_s, a1_s, ct1_s, q_s * m1_s, a2_s, ct2_s, q_s, np.ones((N_EVENTS, S))], axis=1
+    )
+    print(
+        f"synthetic catalog: {N_EVENTS} events, med z {np.median(z):.3f}, med m1 {np.median(m1):.1f}"
+    )
+    return params, data, {"m1": m1, "q": q, "z": z}
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+
+    # redshift draw pdf proportional to dVc/dz (1+z)^(LAMB_Z - 1)
+    zgrid = np.linspace(ZMIN, ZMAX, 4000)
+    dVdz = np.asarray(cosmo.dVcdz(zgrid))
+    pz_grid = dVdz * (1 + zgrid) ** (LAMB_Z - 1.0)
+    pz_grid = pz_grid / np.trapezoid(pz_grid, zgrid)
+    cdf = np.concatenate([[0.0], np.cumsum(0.5 * (pz_grid[1:] + pz_grid[:-1]) * np.diff(zgrid))])
+    cdf /= cdf[-1]
+
+    chunks = []
+    done = 0
+    while done < N_GEN:
+        n = min(CHUNK, N_GEN - done)
+        chunks.append(_generate_chunk(rng, n, zgrid, pz_grid, cdf))
+        done += n
+    data = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    n_found = len(data["redshift"])
+    print(f"found {n_found} / {N_GEN} ({n_found / N_GEN:.3%}), median z_found {np.median(data['redshift']):.3f}")
 
     # store only the found rows (keeps the file small); total_generated
     # records the full draw count, exactly like the LVK release convention
-    k = found
     path = os.path.join(HERE, "injections.h5")
     with h5py.File(path, "w") as f:
         f.attrs["analysis_time"] = ANALYSIS_TIME_YR * 365.25 * 24 * 3600
         g = f.create_group("injections")
         g.attrs["total_generated"] = N_GEN
-        g.create_dataset("mass1_source", data=m1[k])
-        g.create_dataset("mass2_source", data=m2[k])
-        g.create_dataset("redshift", data=z[k])
-        g.create_dataset("spin1x", data=s1x[k])
-        g.create_dataset("spin1y", data=s1y[k])
-        g.create_dataset("spin1z", data=s1z[k])
-        g.create_dataset("spin2x", data=s2x[k])
-        g.create_dataset("spin2y", data=s2y[k])
-        g.create_dataset("spin2z", data=s2z[k])
-        g.create_dataset("sampling_pdf", data=sampling_pdf[k])
-        g.create_dataset("ifar_synthetic", data=ifar[k])
-        g.create_dataset("optimal_snr_net", data=snr_opt[k])
-        g.create_dataset("name", data=np.array([b"o3"] * int(k.sum())))
+        for name, arr in data.items():
+            g.create_dataset(name, data=arr)
+        g.create_dataset("ifar_synthetic", data=np.full(n_found, 100.0))
+        g.create_dataset("name", data=np.array([b"o3"] * n_found))
     print(f"wrote {path}")
 
     # combined handoff artifact from the real catalog + these injections
     from gwinferno_tpu.preprocess.data_collection import load_catalog_netcdf3
     from gwinferno_tpu.preprocess.data_collection import load_injection_dataset
     from gwinferno_tpu.preprocess.data_collection import save_posterior_samples_and_injection_datasets_as_idata
+    from gwinferno_tpu.utils.dataset import DataArray
     from gwinferno_tpu.utils.dataset import Dataset
 
     catalog_path = os.path.join(HERE, "xarray_GWTC3_BBH_69evs_downsampled_1000samps_nospin.h5")
@@ -140,6 +236,22 @@ def main():
     out = os.path.join(HERE, "pe_inj_file.h5")
     save_posterior_samples_and_injection_datasets_as_idata(pe, inj_ds, out)
     print(f"wrote {out}")
+
+    # self-consistent synthetic-event artifact (the bench problem)
+    params, pedata, truths = generate_event_catalog(rng, zgrid, cdf)
+    arr = DataArray(
+        pedata,
+        ("event", "param", "sample"),
+        coords={
+            "event": np.array([f"SYN{i:03d}" for i in range(N_EVENTS)]),
+            "param": np.array(params),
+            "sample": np.arange(pedata.shape[-1]),
+        },
+    )
+    pe_synth = Dataset({"posteriors": arr})
+    out2 = os.path.join(HERE, "pe_inj_synthetic.h5")
+    save_posterior_samples_and_injection_datasets_as_idata(pe_synth, inj_ds, out2)
+    print(f"wrote {out2}  (truth: {TRUE_POP})")
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ PARAMS = ["alpha", "beta", "mu_peak", "sig_peak", "lambda_m", "lamb"]
 
 
 @pytest.mark.skipif(not os.path.exists(BASELINE), reason="run tools/parity/make_parity_baseline.py first")
-def test_posterior_moments_match_independent_implementation(pe_inj_file):
+def test_posterior_moments_match_independent_implementation(pe_inj_synthetic_file):
     import sys
 
     sys.path.insert(0, ROOT)
@@ -38,7 +38,7 @@ def test_posterior_moments_match_independent_implementation(pe_inj_file):
     with open(BASELINE) as f:
         base = json.load(f)
 
-    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_file)
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_synthetic_file)
     z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
     model = bench.make_model(pedict, injdict, constants, z_model)
 
@@ -66,7 +66,7 @@ def test_posterior_moments_match_independent_implementation(pe_inj_file):
         )
 
 
-def test_unscaled_rate_is_gamma_nobs(pe_inj_file):
+def test_unscaled_rate_is_gamma_nobs(pe_inj_synthetic_file):
     """The rate reparameterization: unscaled_rate's posterior is analytically
     Gamma(Nobs, 1) independent of the data -- a closed-form oracle on the
     full NUTS pipeline (mean Nobs, var Nobs)."""
@@ -77,7 +77,7 @@ def test_unscaled_rate_is_gamma_nobs(pe_inj_file):
     from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel
     from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
 
-    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_file)
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_synthetic_file)
     z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
     model = bench.make_model(pedict, injdict, constants, z_model)
 

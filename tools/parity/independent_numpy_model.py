@@ -10,11 +10,12 @@ self-consistency-only story (BASELINE.md's numpyro-on-CPU procedure is
 impossible here: numpyro is not installed).
 
 Model: the bench's spinless powerlaw+peak mass x powerlaw redshift
-hierarchical likelihood over the 69-event GWTC-3 test catalog with the
-synthetic O3-schema injection set, min_neff_cut=True, log weights
-(bench.py:make_model; reference semantics gwinferno/pipeline/analysis.py).
-``unscaled_rate`` is excluded: its posterior is analytically Gamma(Nobs)
-independent of the data, checked separately.
+hierarchical likelihood over the self-consistent synthetic 69-event catalog
+(known population truth) with the synthetic O3-schema injection set,
+min_neff_cut=True, log weights (bench.py:make_model; reference semantics
+gwinferno/pipeline/analysis.py).  ``unscaled_rate`` is excluded: its
+posterior is analytically Gamma(Nobs) independent of the data, checked
+separately.
 """
 
 from __future__ import annotations
@@ -164,9 +165,6 @@ class IndependentPosterior:
         lse1_i = logsumexp(logw_inj)
         lse2_i = logsumexp(2.0 * logw_inj)
         logmu = lse1_i - np.log(self.Ninj)
-        log_neff_inj = 2.0 * lse1_i - lse2_i - np.log1p(
-            -np.exp(np.minimum(2.0 * lse1_i - lse2_i - np.log(self.Ninj), -1e-10))
-        )
         # reference formula: n_eff_inj = mu^2 / var, var = s2/N^2 - mu^2/N
         s2_over_N2 = np.exp(lse2_i - 2.0 * np.log(self.Ninj))
         mu2_over_N = np.exp(2.0 * logmu - np.log(self.Ninj))
@@ -175,10 +173,12 @@ class IndependentPosterior:
             return -np.inf
         n_eff_inj = np.exp(2.0 * logmu) / var
 
-        # min_neff_cut=False, matching the reference's canonical test-catalog
-        # configuration (reference tests/inference_test.py:186) and bench.py;
-        # the walls (analysis.py:272-303) are a production-bank guard
-        if not np.isfinite(logmu):
+        # min_neff_cut walls, matching bench.py / the reference production
+        # defaults (analysis.py:272-303); on the self-consistent synthetic
+        # catalog the posterior bulk sits far from these (headroom ~6x/35x)
+        if n_eff_inj < 4.0 * self.Nobs:
+            return -np.inf
+        if np.exp(log_neffs.min()) <= self.Nobs:
             return -np.inf
         return float(-self.Nobs * logmu + logBFs.sum())
 
