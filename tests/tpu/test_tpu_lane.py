@@ -99,10 +99,16 @@ def test_potential_and_grad_f32_on_device(bench_setup):
     assert np.isfinite(float(pe_tpu)) and abs(float(pe_tpu)) < 1e30
     assert np.all(np.isfinite(np.asarray(g_tpu)))
 
-    with jax.default_device(_cpu()):
-        u_cpu = jax.device_put(u, _cpu())
-        pe_cpu, grad_cpu = jax.jit(pe_and_grad)(u_cpu)
-        g_cpu, _ = jax.flatten_util.ravel_pytree(grad_cpu)
+    # CPU oracle: force the XLA reduction path (double_logsumexp's "auto"
+    # mode keys on the global platform, which is still tpu here)
+    os.environ["GWINF_FUSED"] = "0"
+    try:
+        with jax.default_device(_cpu()):
+            u_cpu = jax.device_put(u, _cpu())
+            pe_cpu, grad_cpu = jax.jit(pe_and_grad)(u_cpu)
+            g_cpu, _ = jax.flatten_util.ravel_pytree(grad_cpu)
+    finally:
+        os.environ.pop("GWINF_FUSED", None)
     np.testing.assert_allclose(float(pe_tpu), float(pe_cpu), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g_tpu), np.asarray(g_cpu), rtol=1e-2, atol=1e-3)
 

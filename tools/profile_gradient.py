@@ -36,6 +36,26 @@ def time_fn(fn, args, reps):
     return statistics.median(times)
 
 
+def make_scan_grad(value_and_grad_fn, n_iters):
+    """Chain ``n_iters`` gradient evaluations on-device (each feeding the
+    next position) -- measures true per-gradient device latency instead of
+    the host->device dispatch round trip (which dominates single-call
+    timings on the remote-TPU tunnel: ~25 ms RTT vs ~2 ms of device work)."""
+    import jax
+    import jax.numpy as jnp
+
+    def scan_fn(z0):
+        def body(z, _):
+            pe, g = value_and_grad_fn(z)
+            # data-dependent update defeats CSE; tiny step keeps z in-range
+            return z - 1e-6 * jnp.tanh(g), pe
+
+        z, pes = jax.lax.scan(body, z0, None, length=n_iters)
+        return z, pes
+
+    return jax.jit(scan_fn)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=16)
@@ -74,13 +94,20 @@ def main():
             return potential_energy(model, (), {}, unravel(z))
 
         grad1 = jax.jit(jax.value_and_grad(pot))
-        gradC = jax.jit(jax.vmap(jax.value_and_grad(pot)))
+        gradC_raw = jax.vmap(jax.value_and_grad(pot))
+        gradC = jax.jit(gradC_raw)
         zC = jnp.broadcast_to(zflat, (args.chains, dim)) + 0.01 * jax.random.normal(
             jax.random.PRNGKey(0), (args.chains, dim), zflat.dtype
         )
 
         t1 = time_fn(grad1, (zflat,), args.reps)
         tC = time_fn(gradC, (zC,), args.reps)
+
+        # in-scan per-gradient latency (the number the NUTS hot loop sees)
+        n_iters = 100
+        scan100 = make_scan_grad(gradC_raw, n_iters)
+        t_scan = time_fn(scan100, (zC,), max(3, args.reps // 10))
+        tC = t_scan / n_iters
 
         try:
             cost = gradC.lower(zC).compile().cost_analysis()
@@ -94,11 +121,11 @@ def main():
         rows.append(
             {
                 "path": label,
-                "grad_1chain_ms": round(t1 * 1e3, 3),
-                "grad_16chain_ms": round(tC * 1e3, 3),
+                "single_call_grad_ms": round(t1 * 1e3, 3),
+                "in_scan_grad_ms": round(tC * 1e3, 3),
                 "per_chain_grad_us": round(tC / args.chains * 1e6, 1),
                 "xla_flops_estimate": flops,
-                "mfu_at_16chains": round(mfu, 5) if mfu == mfu else None,
+                "mfu_in_scan": round(mfu, 5) if mfu == mfu else None,
             }
         )
         print(json.dumps(rows[-1]))
