@@ -107,13 +107,22 @@ def get_o3_cumulative_injection_dict(fi, param_names, ifar_threshold=1, snr_thre
             mass_ratio=data["mass2_source"][()][found] / data["mass1_source"][()][found],
             redshift=data["redshift"][()][found],
         )
-        tg = data.attrs["total_generated"]
+        # total_generated appears as a group attr in some LVK releases and a
+        # scalar dataset in others (reference selection.py:110-112 reads the
+        # attr; real O3 files have shipped both layouts)
+        if "total_generated" in data.attrs:
+            tg = data.attrs["total_generated"]
+        elif "total_generated" in data:
+            tg = data["total_generated"][()]
+        else:
+            raise KeyError("injections group has neither a total_generated attr nor dataset")
         total_generated = tg[()] if hasattr(tg, "__getitem__") and not np.isscalar(tg) else tg
         analysis_time = None
-        for key in ("analysis_time", "total_analysis_time", "analysis_time_s"):
-            if key in ff.attrs:
-                at = ff.attrs[key]
-                analysis_time = (at[()] if hasattr(at, "__getitem__") and not np.isscalar(at) else at) / 365.25 / 24 / 60 / 60
+        for attrs in (ff.attrs, data.attrs):
+            for key in ("analysis_time", "total_analysis_time", "analysis_time_s"):
+                if key in attrs and analysis_time is None:
+                    at = attrs[key]
+                    analysis_time = (at[()] if hasattr(at, "__getitem__") and not np.isscalar(at) else at) / 365.25 / 24 / 60 / 60
         if analysis_time is None:
             raise Exception("analysis time not found")
 
