@@ -155,7 +155,12 @@ def main():
         model = make_model(pedict, injdict, constants, z_model)
 
     mcmc = MCMC(
-        NUTS(model, dense_mass=DENSE_MASS),
+        NUTS(
+            model,
+            dense_mass=DENSE_MASS,
+            max_tree_depth=int(os.environ.get("BENCH_MAX_TREE_DEPTH", 10)),
+            target_accept_prob=float(os.environ.get("BENCH_TARGET_ACCEPT", 0.8)),
+        ),
         num_warmup=WARMUP,
         num_samples=SAMPLES,
         num_chains=N_CHAINS,
