@@ -158,7 +158,11 @@ def main():
         NUTS(
             model,
             dense_mass=DENSE_MASS,
-            max_tree_depth=int(os.environ.get("BENCH_MAX_TREE_DEPTH", 10)),
+            # depth sweep (docs/PERF.md): mean depth on this posterior is
+            # ~3.9; capping at 6 cuts the vmapped-chain sync tail (all 16
+            # chains wait for the deepest tree each step) for 1.7x ESS/s at
+            # <17% ESS cost; depth 5 over-truncates (ESS drops faster)
+            max_tree_depth=int(os.environ.get("BENCH_MAX_TREE_DEPTH", 6)),
             target_accept_prob=float(os.environ.get("BENCH_TARGET_ACCEPT", 0.8)),
         ),
         num_warmup=WARMUP,

@@ -65,28 +65,22 @@ def test_posterior_moments_match_independent_implementation(pe_inj_synthetic_fil
             f"{name}: NUTS std {ours.std():.4f} vs independent {ref['std']:.4f}"
         )
 
+    # truth recovery: the catalog was GENERATED from TRUE_POP
+    # (tests/data/make_synthetic_injections.py); the well-identified
+    # hyperparameters must cover the truth within ~3 posterior sd
+    truth = {"alpha": -2.35, "beta": 1.0, "lamb": 1.7, "lambda_m": 0.05}
+    for name, t in truth.items():
+        ours = np.asarray(s[name])
+        assert abs(ours.mean() - t) < 3.0 * ours.std() + 0.05, (
+            f"{name}: posterior {ours.mean():.3f} +/- {ours.std():.3f} excludes truth {t}"
+        )
 
-def test_unscaled_rate_is_gamma_nobs(pe_inj_synthetic_file):
-    """The rate reparameterization: unscaled_rate's posterior is analytically
-    Gamma(Nobs, 1) independent of the data -- a closed-form oracle on the
-    full NUTS pipeline (mean Nobs, var Nobs)."""
-    import sys
-
-    sys.path.insert(0, ROOT)
-    import bench
-    from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel
-    from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
-
-    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_synthetic_file)
-    z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
-    model = bench.make_model(pedict, injdict, constants, z_model)
-
-    bench.N_CHAINS = 4
-    mcmc = MCMC(NUTS(model, dense_mass=True), num_warmup=150, num_samples=250, num_chains=4)
-    mcmc.run(jax.random.PRNGKey(7), init_params=bench.make_init(7))
-    r = np.asarray(mcmc.get_samples()["unscaled_rate"])
+    # closed-form oracle riding the same run: the rate reparameterization
+    # makes unscaled_rate's posterior analytically Gamma(Nobs, 1)
+    # independent of the data (mean Nobs, var Nobs)
+    r = np.asarray(s["unscaled_rate"])
     nobs = constants["nObs"]
-    ess = max(effective_sample_size(np.asarray(mcmc.get_samples(group_by_chain=True)["unscaled_rate"])), 4.0)
-    se = r.std() / np.sqrt(ess)
+    r_ess = max(effective_sample_size(r), 4.0)
+    se = r.std() / np.sqrt(r_ess)
     assert abs(r.mean() - nobs) < 4.0 * se + 0.05 * nobs, (r.mean(), nobs, se)
     assert abs(r.std() - np.sqrt(nobs)) < 0.3 * np.sqrt(nobs), (r.std(), np.sqrt(nobs))
