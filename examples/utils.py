@@ -53,6 +53,7 @@ def run_powerlawpeak_analysis(model, pedict, injdict, constants, param_names, ar
         num_samples=args.samples,
         num_chains=args.chains,
         thinning=args.thinning,
+        progress_bar=True,
     )
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()
@@ -107,6 +108,7 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
         num_samples=args.samples,
         num_chains=args.chains,
         thinning=args.thinning,
+        progress_bar=True,
     )
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()

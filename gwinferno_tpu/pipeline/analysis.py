@@ -153,6 +153,10 @@ def hierarchical_likelihood(
             f"marginalize_selection = {marginalize_selection} "
             f"and min_neff_cut = {min_neff_cut}",
         )
+    if pe_summaries is not None and categorical:
+        raise ValueError("pe_summaries (the fused seam) cannot be combined with categorical subpopulations")
+    if (pe_summaries is not None or inj_summaries is not None) and posterior_predictive_check:
+        raise ValueError("posterior_predictive_check needs the raw weight banks; disable it on the fused path")
 
     rate = None
     if categorical:
