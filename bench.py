@@ -71,8 +71,21 @@ def make_model(pedict, injdict, constants, z_model):
     from gwinferno_tpu.pipeline.analysis import hierarchical_likelihood
     from gwinferno_tpu.ppl import distributions as dist
 
-    log_prior_pe = jnp.log(pedict["prior"])
-    log_prior_inj = jnp.log(injdict["prior"])
+    # PE and injection banks concatenated into ONE flat vector per parameter:
+    # the pdf chains evaluate once over 80.6k elements instead of twice over
+    # 69k + 11.6k -- halves the number of (latency-bound) fused kernels per
+    # NUTS gradient on TPU
+    E, S = pedict["mass_1"].shape
+    n_pe = E * S
+
+    def cat(name):
+        return jnp.concatenate([pedict[name].reshape(-1), injdict[name]])
+
+    bank = {k: cat(k) for k in ("mass_1", "mass_ratio", "redshift")}
+    log_prior_all = jnp.log(cat("prior"))
+    # dVc/dz at the concatenated bank (PowerlawRedshiftModel caches per-bank)
+    log_dvdz_all = jnp.log(jnp.concatenate([z_model.dVdzs[1].reshape(-1), z_model.dVdzs[0]]))
+    log1p_z_all = jnp.log1p(bank["redshift"])
 
     def model():
         beta = ppl.sample("beta", dist.Normal(0, 5))
@@ -82,24 +95,28 @@ def make_model(pedict, injdict, constants, z_model):
         lambda_m = ppl.sample("lambda_m", dist.Uniform(0, 1))
         lamb = ppl.sample("lamb", dist.Normal(0, 5))
 
-        def get_log_weights(d, log_prior):
-            # log space end to end: f32 on TPU cannot square linear weights
-            logw = (
-                log_plpeak_primary_ratio_pdf(
-                    d["mass_1"], d["mass_ratio"], alpha, beta, MMIN, MMAX, mu_peak, sig_peak, lambda_m
-                )
-                + z_model.log_prob(d["redshift"], lamb)
-                - log_prior
+        # log space end to end: f32 on TPU cannot square linear weights
+        z_lognorm = jnp.log(z_model.normalization(lamb))
+        logw = (
+            log_plpeak_primary_ratio_pdf(
+                bank["mass_1"], bank["mass_ratio"], alpha, beta, MMIN, MMAX, mu_peak, sig_peak, lambda_m
             )
-            return jnp.where(jnp.isnan(logw) | (logw == jnp.inf), -jnp.inf, logw)
+            + jnp.where(
+                bank["redshift"] <= z_model.zmax,
+                log_dvdz_all + (lamb - 1.0) * log1p_z_all - z_lognorm,
+                jnp.nan_to_num(-jnp.inf),
+            )
+            - log_prior_all
+        )
+        logw = jnp.where(jnp.isnan(logw) | (logw == jnp.inf), -jnp.inf, logw)
 
         hierarchical_likelihood(
-            get_log_weights(pedict, log_prior_pe),
-            get_log_weights(injdict, log_prior_inj),
+            logw[:n_pe].reshape(E, S),
+            logw[n_pe:],
             total_inj=constants["total_inj"],
             Nobs=constants["nObs"],
             Tobs=constants["obs_time"],
-            surveyed_hypervolume=z_model.normalization(lamb),
+            surveyed_hypervolume=jnp.exp(z_lognorm),
             marginalize_selection=False,
             min_neff_cut=True,
             log=True,
