@@ -252,5 +252,7 @@ def find_reasonable_step_size(potential_fn, mm: MassMatrix, z, key, init_step_si
     step_size, direction, _, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(init_step_size, dtype=z.dtype), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), key)
     )
-    # overshoot by one doubling in the final direction is fine; undo half of it
+    # the loop exits one doubling past the accept-prob crossing; that one-step
+    # overshoot is deliberate (dual averaging starts from here and corrects
+    # within a few iterations) -- only clamp to a sane numeric range
     return jnp.clip(step_size, 1e-17, 1e7)

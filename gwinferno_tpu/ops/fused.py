@@ -35,7 +35,6 @@ __all__ = [
     "double_logsumexp",
     "fused_logweight_logsumexp",
     "fused_logweight_logsumexp_xla",
-    "logsumexp_rows",
 ]
 
 
@@ -320,54 +319,6 @@ def fused_logweight_logsumexp(coefs, design, neg_log_prior, n_events, n_samples,
     logBF = lse1[:, :E] - jnp.log(S * 1.0)
     log_neff = 2.0 * lse1[:, :E] - lse2[:, :E]
     return logBF, log_neff
-
-
-def logsumexp_rows(x, interpret=False, block=1024):
-    """Stable logsumexp over the last axis of a 2-D array as a single-pass
-    tiled Pallas kernel (online max/sum combine); XLA fallback elsewhere."""
-    platform = jax.devices()[0].platform
-    if platform not in ("tpu",) and not interpret:
-        return logsumexp(x, axis=-1)
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    R, N = x.shape
-    nblocks = -(-N // block)
-    if N % block:
-        x = jnp.pad(x, ((0, 0), (0, nblocks * block - N)), constant_values=-jnp.inf)
-
-    def kernel(x_ref, out_ref, acc_m, acc_s):
-        j = pl.program_id(0)
-
-        @pl.when(j == 0)
-        def _():
-            acc_m[:] = jnp.full_like(acc_m, -jnp.inf)
-            acc_s[:] = jnp.zeros_like(acc_s)
-
-        xb = x_ref[:]  # (R, block)
-        m_new = jnp.maximum(acc_m[:], jnp.max(xb, axis=-1))
-        s_new = acc_s[:] * jnp.exp(acc_m[:] - m_new) + jnp.sum(jnp.exp(xb - m_new[:, None]), axis=-1)
-        acc_m[:] = m_new
-        acc_s[:] = s_new
-
-        @pl.when(j == pl.num_programs(0) - 1)
-        def _():
-            out_ref[:] = acc_m[:] + jnp.log(acc_s[:])
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(nblocks,),
-        in_specs=[pl.BlockSpec((R, block), lambda j: (0, j))],
-        out_specs=pl.BlockSpec((R,), lambda j: (0,)),
-        out_shape=jax.ShapeDtypeStruct((R,), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((R,), x.dtype),
-            pltpu.VMEM((R,), x.dtype),
-        ],
-        interpret=interpret,
-    )(x)
-    return out
 
 
 def fused_bspline_per_event_log_bayes_factors(design_coef_pairs, neg_log_prior, n_events, n_samples, log_norms=None, **kwargs):

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import logsumexp
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
@@ -55,11 +54,3 @@ def sharded_logsumexp(x, axis_name, axis=-1):
     return global_max + jnp.log(global_sum)
 
 
-def replicated(mesh, x):
-    return jax.device_put(x, NamedSharding(mesh, P()))
-
-
-def psum_logsumexp_tree(x, axis=1):
-    """Plain logsumexp used inside jit-with-sharded-inputs; kept as a named
-    seam so Pallas/fused variants can swap in."""
-    return logsumexp(x, axis=axis)

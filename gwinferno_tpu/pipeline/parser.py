@@ -13,9 +13,11 @@ so existing reference configs run unmodified.
 
 from __future__ import annotations
 
-import sys
+import importlib.util
 from argparse import ArgumentParser
+from dataclasses import dataclass
 from importlib import import_module
+from pathlib import Path
 
 import jax.numpy as jnp
 import yaml
@@ -31,37 +33,46 @@ __all__ = [
 ]
 
 
+@dataclass
 class PopModel:
     """Typed config record: population-model callable + hyperparameter names."""
 
-    def __init__(self, model, params):
-        self.model = model
-        self.params = params
+    model: object
+    params: list
 
 
+@dataclass
 class PopPrior:
     """Typed config record: hyperprior distribution class + its kwargs."""
 
-    def __init__(self, dist, params):
-        self.dist = dist
-        self.params = params
+    dist: object
+    params: dict
 
 
 class PopMixtureModel(PopModel):
+    """Config record for a mixture parameter: outer mixture callable, mixing
+    distribution + its hyperparameter names, and per-component callables with
+    their hyperparameter name lists."""
+
     def __init__(self, model, mix_dist, mix_params, components, component_params):
         self.model = model
-        self.components = components
         self.mixing_dist = mix_dist
         self.mixing_params = mix_params
+        self.components = components
         self.component_params = component_params
 
 
 def load_model_from_python_file(path):
-    """Import ``model`` from a user python file (sys.path side-load)."""
-    fn = path.split("/")[-1]
-    direct = path.replace(f"/{fn}", "")
-    sys.path.append(direct)
-    return getattr(import_module(fn.replace(".py", "")), "model")
+    """Import the ``model`` symbol from a user python file.
+
+    Loaded directly from the file path (importlib spec machinery) rather than
+    the reference's sys.path append + module-name import, which breaks when
+    two configs point at same-named files in different directories.
+    """
+    spec = importlib.util.spec_from_file_location(Path(path).stem, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.model
 
 
 # Accept reference-era dotted paths in existing configs.
@@ -88,19 +99,67 @@ def _alias_module(module):
 def load_dist_from_string(dist):
     """Resolve a dotted path to a class/callable, mapping reference module
     names onto this package (parity: parser.py:41-45)."""
-    split_d = dist.split(".")
-    module = ".".join(split_d[:-1])
-    function = split_d[-1]
+    module, _, symbol = dist.rpartition(".")
     for candidate in (_alias_module(module), module):
         try:
-            return getattr(import_module(candidate), function)
+            return getattr(import_module(candidate), symbol)
         except (ImportError, AttributeError):
             continue
     raise ImportError(f"cannot resolve '{dist}' (tried module '{_alias_module(module)}' and '{module}')")
 
 
+def _as_array_if_list(v):
+    """YAML lists become jnp arrays; scalars pass through (schema rule:
+    list-valued prior params / fixed values are coefficient vectors)."""
+    return jnp.array(v) if isinstance(v, list) else v
+
+
+def _hyper_param_entries(prefix, hyper_block):
+    """Walk one ``hyper_params`` mapping and yield flat prior-table rows.
+
+    Each hyperparameter block is either sampled (``prior`` + ``prior_params``
+    -> a (key, PopPrior, True) row) or pinned (``value`` -> a (key, constant,
+    False) row); anything else is silently skipped, matching the schema's
+    permissiveness.  Keys are ``{prefix}_{name}`` -- the site names the
+    constructed model will sample.
+    """
+    for name, spec in hyper_block.items():
+        key = f"{prefix}_{name}" if prefix else name
+        if "prior" in spec and "prior_params" in spec:
+            cls = load_dist_from_string(spec["prior"])
+            kwargs = {k: _as_array_if_list(v) for k, v in spec["prior_params"].items()}
+            yield key, PopPrior(cls, kwargs), True
+        elif "value" in spec:
+            yield key, _as_array_if_list(spec["value"]), False
+
+
+def _component_blocks(subd):
+    """Yield ``(index, block)`` for the ``component_{i}`` sub-blocks of a
+    mixture parameter, in index order starting at 1."""
+    i = 1
+    while f"component_{i}" in subd:
+        yield i, subd[f"component_{i}"]
+        i += 1
+
+
 class ConfigReader:
-    """Parse a YAML analysis config into model/prior dicts + run settings."""
+    """Parse a YAML analysis config into model/prior dicts + run settings.
+
+    Schema (parity with the reference's ConfigReader,
+    gwinferno/pipeline/parser.py:48-118 -- the *schema* is the spec; this
+    walker is an independent implementation): top-level ``label``/``outdir``/
+    ``data``/``sampler``/``likelihood``/``models``; under ``models`` either a
+    ``python_file`` escape hatch or one block per source parameter with
+    ``model`` (dotted path) + ``hyper_params``; mixture models are any block
+    whose model name contains ``"Mixture"``, carrying a ``mixture_dist``
+    block plus ``component_1..N`` blocks; ``iid: {shared_parameter: x}``
+    aliases parameter ``x`` to this block's model.
+
+    Results land in ``models`` (param -> PopModel/PopMixtureModel, or an
+    alias string for iid parameters), ``priors`` (flat site name -> PopPrior
+    or pinned constant), and ``sampling_params`` (site names to sample, in
+    declaration order).
+    """
 
     def __init__(self):
         self.models = {}
@@ -114,65 +173,66 @@ class ConfigReader:
 
     def parse(self, yml_file):
         with open(yml_file, "r") as f:
-            yml = yaml.safe_load(f)
-        self.label = yml.pop("label", "label")
-        self.outdir = yml.pop("outdir", "./")
-        self.data_conf = yml.pop("data", {})
-        self.sampler_conf = yml.pop("sampler", {})
-        self.likelihood_kwargs = yml.pop("likelihood", {})
-        self.construct_model_and_prior_dicts(yml["models"])
+            conf = yaml.safe_load(f)
+        self.label = conf.get("label", "label")
+        self.outdir = conf.get("outdir", "./")
+        self.data_conf = conf.get("data", {})
+        self.sampler_conf = conf.get("sampler", {})
+        self.likelihood_kwargs = conf.get("likelihood", {})
+        self.construct_model_and_prior_dicts(conf["models"])
 
-    def construct_model_and_prior_dicts(self, yml):
-        if "python_file" in yml:
-            self.models["file_path"] = yml["python_file"]
-        else:
-            for param in yml:
-                if "Mixture" in yml[param]["model"]:
-                    self.add_mixture_model(param, yml[param])
-                else:
-                    self.add_model(param, yml[param])
+    def construct_model_and_prior_dicts(self, models_block):
+        if "python_file" in models_block:
+            self.models["file_path"] = models_block["python_file"]
+            return
+        for param, subd in models_block.items():
+            is_mixture = "Mixture" in subd["model"]
+            builder = self.add_mixture_model if is_mixture else self.add_model
+            builder(param, subd)
+
+    def _record(self, entries):
+        """Commit prior-table rows produced by :func:`_hyper_param_entries`."""
+        for key, record, sampled in entries:
+            self.priors[key] = record
+            if sampled:
+                self.sampling_params.append(key)
 
     def add_prior(self, key, subd):
-        if "prior" in subd and "prior_params" in subd:
-            for k in subd["prior_params"]:
-                if type(subd["prior_params"][k]) is list:
-                    subd["prior_params"][k] = jnp.array(subd["prior_params"][k])
-            self.priors[key] = PopPrior(load_dist_from_string(subd["prior"]), subd["prior_params"])
-            self.sampling_params.append(key)
-        elif "value" in subd:
-            if type(subd["value"]) is list:
-                self.priors[key] = jnp.array(subd["value"])
-            else:
-                self.priors[key] = subd["value"]
+        """Register a single hyperparameter block under flat name ``key``."""
+        self._record((key, rec, s) for _, rec, s in _hyper_param_entries("", {key: subd}))
 
     def add_model(self, param, subd):
-        self.models[param] = PopModel(load_dist_from_string(subd["model"]), [p for p in subd["hyper_params"]])
-        for hp in subd["hyper_params"]:
-            self.add_prior(f"{param}_{hp}", subd["hyper_params"][hp])
+        cls = load_dist_from_string(subd["model"])
+        self.models[param] = PopModel(cls, list(subd["hyper_params"]))
+        self._record(_hyper_param_entries(param, subd["hyper_params"]))
         if "iid" in subd:
             self.add_iid_model(param, subd["iid"]["shared_parameter"])
 
     def add_iid_model(self, param, shared_param):
+        # alias: the shared parameter reuses `param`'s constructed model
         self.models[shared_param] = param
 
     def add_mixture_model(self, param, subd):
-        model = load_dist_from_string(subd["model"])
-        mix_dist = load_dist_from_string(subd["mixture_dist"]["model"])
-        mix_params = [p for p in subd["mixture_dist"]["hyper_params"]]
-        N = len(subd["mixture_dist"]["hyper_params"][mix_params[0]]["prior_params"]["concentration"])
-        for hp in mix_params:
-            self.add_prior(f"{param}_mixture_dist_{hp}", subd["mixture_dist"]["hyper_params"][hp])
-        components = []
-        component_params = []
-        for i in range(N):
-            name = f"component_{i + 1}"
-            components.append(load_dist_from_string(subd[name]["model"]))
-            component_params.append([p for p in subd[name]["hyper_params"]])
-            for hp in subd[name]["hyper_params"]:
-                self.add_prior(f"{param}_component_{i + 1}_{hp}", subd[name]["hyper_params"][hp])
-        self.models[param] = PopMixtureModel(model, mix_dist, mix_params, components, component_params)
-        if "iid" in subd[name]:
-            self.add_iid_model(param, subd[name]["iid"]["shared_parameter"])
+        mix_block = subd["mixture_dist"]
+        self._record(_hyper_param_entries(f"{param}_mixture_dist", mix_block["hyper_params"]))
+
+        components, component_params = [], []
+        last_block = None
+        for i, block in _component_blocks(subd):
+            components.append(load_dist_from_string(block["model"]))
+            component_params.append(list(block["hyper_params"]))
+            self._record(_hyper_param_entries(f"{param}_component_{i}", block["hyper_params"]))
+            last_block = block
+
+        self.models[param] = PopMixtureModel(
+            load_dist_from_string(subd["model"]),
+            load_dist_from_string(mix_block["model"]),
+            list(mix_block["hyper_params"]),
+            components,
+            component_params,
+        )
+        if last_block is not None and "iid" in last_block:
+            self.add_iid_model(param, last_block["iid"]["shared_parameter"])
 
 
 def load_base_parser():
