@@ -4,9 +4,14 @@ Design: the reference (gwinferno/cosmology.py:27-138) integrates Dc(z) and
 Vc(z) with a sequential trapezoid `fori_loop` *on device*.  A sequential
 scalar loop is the worst possible shape for a TPU, and the tables are static
 constants anyway -- so here they are built **once on the host in float64**
-with vectorized cumulative-trapezoid sums, then stored as device arrays.
-Runtime queries (``dVcdz``, ``z2Dc``, ``DL2z``, ...) are pure ``jnp.interp``
-lookups: vectorized, jit-safe, differentiable, and cheap in f32 on TPU.
+with vectorized cumulative-trapezoid sums, and stored HOST-side (numpy): a
+table closed over by jitted code embeds as an executable constant at
+compile, while a device-resident table would have to be fetched back
+through the (slow) remote-TPU tunnel at every lowering
+(gwinferno_tpu/utils/host.py).  Runtime queries (``dVcdz``, ``z2Dc``,
+``DL2z``, ...) are pure ``interp`` lookups: ``jnp`` (vectorized, jit-safe,
+differentiable) under trace / on device, plain numpy for host inputs -- so
+model constructors caching per-bank dVc/dz values stay host-side too.
 
 The trapezoid-step recursion of the reference (cosmology.py:48-63) is exactly
 a cumulative trapezoid of dDc/dz (and of the pointwise dVc/dz built from the
@@ -19,8 +24,9 @@ Planck-2015-LVK variants).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
+
+from .utils.host import xp_for
 
 C_SI = 299792458.0  # m/s
 
@@ -82,9 +88,10 @@ class Cosmology:
         Dc = _cumtrapz0(dDcdz, dz)
         dVcdz = 4.0 * np.pi * Dc**2 * dDcdz
         Vc = _cumtrapz0(dVcdz, dz)
-        self.z = jnp.asarray(z)
-        self.Dc = jnp.asarray(Dc)
-        self.Vc = jnp.asarray(Vc)
+        # host-side tables (see module docstring / utils.host)
+        self.z = z
+        self.Dc = Dc
+        self.Vc = Vc
         self._np_z, self._np_Dc = z, Dc
 
     def extend(self, max_z, dz=DEFAULT_DZ):
@@ -92,7 +99,7 @@ class Cosmology:
         self.max_z, self.dz = float(max_z), float(dz)
         self._build_tables(self.max_z, self.dz)
 
-    # -- queries (jnp, jit/grad-safe) --------------------------------------
+    # -- queries (host numpy or traced jnp, via xp_for) ---------------------
 
     @property
     def DL(self):
@@ -114,23 +121,24 @@ class Cosmology:
 
     def z2Dc(self, z, dz=DEFAULT_DZ):
         """Comoving distance via table interpolation."""
-        return jnp.interp(z, self.z, self.Dc)
+        return xp_for(z).interp(z, self.z, self.Dc)
 
     def dVcdz(self, z, Dc=None, dz=DEFAULT_DZ):
         """Differential comoving volume dVc/dz = 4 pi Dc(z)^2 dDc/dz."""
         if Dc is None:
             Dc = self.z2Dc(z, dz=dz)
-        return 4.0 * jnp.pi * Dc**2 * self.dDcdz(z)
+        return 4.0 * np.pi * Dc**2 * self.dDcdz(z)
 
     def logdVcdz(self, z, Dc=None, dz=DEFAULT_DZ):
         """log dVc/dz, overflow-free (parity: cosmology.py:103-109)."""
         if Dc is None:
             Dc = self.z2Dc(z, dz=dz)
-        return jnp.log(4.0 * jnp.pi) + 2.0 * jnp.log(Dc) + jnp.log(self.dDcdz(z))
+        xp = xp_for(z, Dc)
+        return xp.log(4.0 * np.pi) + 2.0 * xp.log(Dc) + xp.log(self.dDcdz(z))
 
     def z2DL(self, z, dz=DEFAULT_DZ):
         """Luminosity distance DL(z) = (1+z) Dc(z)."""
-        return jnp.interp(z, self.z, self.DL)
+        return xp_for(z).interp(z, self.z, self.DL)
 
     def DL2z(self, DL, dz=DEFAULT_DZ):
         """Inverse map DL -> z via interpolation on the (monotone) DL table.
@@ -140,7 +148,7 @@ class Cosmology:
         values beyond the table clamp to ``max_z``.  Build with a larger
         ``max_z`` if needed.
         """
-        return jnp.interp(DL, self.DL, self.z)
+        return xp_for(DL).interp(DL, self.DL, self.z)
 
 
 PLANCK_2015_Cosmology = Cosmology(

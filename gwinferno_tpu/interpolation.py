@@ -25,6 +25,8 @@ import numpy as np
 from jax.scipy.integrate import trapezoid
 from jax.tree_util import register_pytree_node_class
 
+from .utils.host import xp_for
+
 __all__ = [
     "mspline_design_matrix",
     "bspline_design_matrix",
@@ -62,24 +64,25 @@ def mspline_design_matrix(xs, knots, order):
     Returns:
         design matrix of shape ``(N, *xs.shape)`` with ``N = len(knots) - order``.
     """
-    t = jnp.asarray(knots)
-    xs = jnp.asarray(xs)
+    xp = xp_for(xs)  # host numpy at construction, jnp under trace/on device
+    t = np.asarray(knots)
+    xs = xp.asarray(xs)
     x = xs.reshape(-1)[None, :]  # (1, n)
 
     tl = t[:-1, None]
     tr = t[1:, None]
     span1 = tr - tl
-    B = jnp.where(
+    B = xp.where(
         (x >= tl) & (x < tr) & (span1 >= _DEGENERATE_KNOT_TOL),
-        1.0 / jnp.where(span1 >= _DEGENERATE_KNOT_TOL, span1, 1.0),
+        1.0 / np.where(span1 >= _DEGENERATE_KNOT_TOL, span1, 1.0),
         0.0,
     )
     for m in range(2, order + 1):
         span = t[m:, None] - t[:-m, None]
         num = (x - t[:-m, None]) * B[:-1] + (t[m:, None] - x) * B[1:]
-        B = jnp.where(
+        B = xp.where(
             span >= _DEGENERATE_KNOT_TOL,
-            m * num / ((m - 1) * jnp.where(span >= _DEGENERATE_KNOT_TOL, span, 1.0)),
+            m * num / ((m - 1) * np.where(span >= _DEGENERATE_KNOT_TOL, span, 1.0)),
             0.0,
         )
     return B.reshape((t.shape[0] - order,) + xs.shape)
@@ -90,7 +93,7 @@ def bspline_design_matrix(xs, knots, order):
 
     ``B_{i,k} = (t_{i+k} - t_i)/k * M_{i,k}`` (gwinferno/interpolation.py:268-278).
     """
-    t = jnp.asarray(knots)
+    t = np.asarray(knots)
     M = mspline_design_matrix(xs, t, order)
     scale = (t[order:] - t[: t.shape[0] - order]) / order
     return M * scale.reshape((-1,) + (1,) * (M.ndim - 1))
@@ -171,26 +174,28 @@ class BasisSpline:
         self.xrange = tuple(xrange)
         if knots is None:
             knots, interior_knots = _default_knots(n_df, k, xrange, interior_knots)
-        self.knots = jnp.asarray(knots)
+        self.knots = np.asarray(knots)
         self.interior_knots = interior_knots
         assert self.knots.shape[0] == self.N + self.order
 
         self.normalize = normalize
-        self.basis_vols = jnp.ones(self.N)
+        # construction-time caches are host numpy (utils.host convention)
+        self.basis_vols = np.ones(self.N)
         if normalize:
-            self.grid = jnp.linspace(*self.xrange, 1000)
+            self.grid = np.linspace(*self.xrange, 1000)
             self.grid_bases = self.bases(self.grid)
-            self.basis_vols = trapezoid(self.grid_bases, self.grid, axis=-1)
+            self.basis_vols = np.trapezoid(self.grid_bases, self.grid, axis=-1)
 
     def _design(self, xs):
         return mspline_design_matrix(xs, self.knots, self.order)
 
     def bases(self, xs):
         """Design matrix at ``xs``; zero outside ``xrange``.  Shape (N, *xs.shape)."""
-        xs = jnp.asarray(xs)
+        xp = xp_for(xs)
+        xs = xp.asarray(xs)
         dm = self._design(xs)
-        oob = jnp.less(xs, self.xrange[0]) | jnp.greater(xs, self.xrange[1])
-        return jnp.where(oob, 0.0, dm)
+        oob = xp.less(xs, self.xrange[0]) | xp.greater(xs, self.xrange[1])
+        return xp.where(oob, 0.0, dm)
 
     def norm(self, coefs):
         """1 / integral of the projected curve (via per-basis volumes)."""
@@ -255,11 +260,11 @@ class LogXBSpline(BSpline):
         self.normalize = normalize
         if normalize:
             # normalization grid lives in *linear* x so the trapezoid measure is dx
-            self.grid = jnp.linspace(*np.exp(log_xrange), 1000)
+            self.grid = np.linspace(*np.exp(log_xrange), 1000)
             self.grid_bases = self.bases(self.grid)
 
     def bases(self, xs):
-        return super().bases(jnp.log(xs))
+        return super().bases(xp_for(xs).log(xs))
 
 
 class LogYBSpline(BSpline):
@@ -273,7 +278,7 @@ class LogYBSpline(BSpline):
         super().__init__(n_df, knots=knots, interior_knots=interior_knots, xrange=xrange, normalize=False, **kwargs)
         self.normalize = normalize
         if normalize:
-            self.grid = jnp.linspace(*self.xrange, 1000)
+            self.grid = np.linspace(*self.xrange, 1000)
             self.grid_bases = self.bases(self.grid)
 
     def _project(self, bases, coefs):
@@ -282,10 +287,11 @@ class LogYBSpline(BSpline):
         return jnp.exp(logvals)
 
     def bases(self, xs):
-        xs = jnp.asarray(xs)
+        xp = xp_for(xs)
+        xs = xp.asarray(xs)
         dm = super().bases(xs)
-        oob = jnp.less(xs, self.xrange[0]) | jnp.greater(xs, self.xrange[1])
-        return jnp.where(oob, -jnp.inf, dm)
+        oob = xp.less(xs, self.xrange[0]) | xp.greater(xs, self.xrange[1])
+        return xp.where(oob, -xp.inf, dm)
 
 
 class LogXLogYBSpline(LogYBSpline):
@@ -302,14 +308,15 @@ class LogXLogYBSpline(LogYBSpline):
         super().__init__(n_df, knots=knots, interior_knots=interior_knots, xrange=log_xrange, normalize=False, **kwargs)
         self.normalize = normalize
         if normalize:
-            self.grid = jnp.linspace(*np.exp(log_xrange), 1500)
+            self.grid = np.linspace(*np.exp(log_xrange), 1500)
             self.grid_bases = self.bases(self.grid)
 
     def bases(self, xs):
-        logxs = jnp.log(xs)
+        xp = xp_for(xs)
+        logxs = xp.log(xs)
         dm = BSpline.bases(self, logxs)  # zero-OOB in log space
-        oob = jnp.less(logxs, self.xrange[0]) | jnp.greater(logxs, self.xrange[1])
-        return jnp.where(oob, -jnp.inf, dm)
+        oob = xp.less(logxs, self.xrange[0]) | xp.greater(logxs, self.xrange[1])
+        return xp.where(oob, -xp.inf, dm)
 
 
 class RectBivariateBasisSpline:
@@ -326,16 +333,16 @@ class RectBivariateBasisSpline:
         self.y_interpolator = ybasis(ydf, xrange=yrange, k=ky, normalize=False)
         self.normalize = normalize
         if normalize:
-            self.gridx = jnp.linspace(*xrange, 750)
-            self.gridy = jnp.linspace(*yrange, 750)
-            self.gxx, self.gyy = jnp.meshgrid(self.gridx, self.gridy)
+            self.gridx = np.linspace(*xrange, 750)
+            self.gridy = np.linspace(*yrange, 750)
+            self.gxx, self.gyy = np.meshgrid(self.gridx, self.gridy)
             self.grid_bases = self.bases(self.gxx, self.gyy)
 
     def bases(self, xs, ys):
         """Outer-product design tensor, shape ``(xdf, ydf, *xs.shape)``."""
         bx = self.x_interpolator.bases(xs)
         by = self.y_interpolator.bases(ys)
-        return jnp.einsum("i...,j...->ij...", bx, by)
+        return xp_for(xs, ys).einsum("i...,j...->ij...", bx, by)
 
     def _project(self, bases, coefs):
         return jnp.exp(jnp.einsum("ij...,ij->...", bases, coefs))

@@ -24,6 +24,7 @@ from ...interpolation import BSpline
 from ...interpolation import LogXBSpline
 from ...interpolation import LogXLogYBSpline
 from ...interpolation import LogYBSpline
+from ...utils.host import xp_for
 
 __all__ = [
     "Base1DBSplineModel",
@@ -40,7 +41,8 @@ __all__ = [
 
 def _finite_design(dm):
     """Zero out non-finite (OOB sentinel) design entries -> dense + grad-safe."""
-    return jnp.where(jnp.isfinite(dm), dm, 0.0)
+    xp = xp_for(dm)
+    return xp.where(xp.isfinite(dm), dm, 0.0)
 
 
 class Base1DBSplineModel:
@@ -107,7 +109,10 @@ class BSplineSymmetricChiEffective(Base1DBSplineModel):
 
     def __init__(self, n_splines, chieff, chieff_inj, basis=BSpline, **kwargs):
         xrange = kwargs.pop("xrange", (0.0, 1.0))
-        super().__init__(n_splines, jnp.abs(chieff), jnp.abs(chieff_inj), basis=basis, xrange=xrange, **kwargs)
+        super().__init__(
+            n_splines, xp_for(chieff).abs(chieff), xp_for(chieff_inj).abs(chieff_inj),
+            basis=basis, xrange=xrange, **kwargs
+        )
 
     def __call__(self, coefs, pe_samples=True):
         return 0.5 * self.funcs[1](coefs) if pe_samples else 0.5 * self.funcs[0](coefs)
@@ -149,9 +154,10 @@ class BSplineRedshift(Base1DBSplineModel):
     def __init__(self, n_splines, z, z_inj, dVdc, dVdc_inj, zmax=2.3, basis=LogXBSpline, **kwargs):
         xrange = kwargs.pop("xrange", (1e-4, zmax))
         super().__init__(n_splines, z, z_inj, xrange=xrange, basis=basis, **kwargs)
-        self.zmin = jnp.maximum(jnp.min(z), jnp.min(z_inj))
-        self.zmax = jnp.minimum(jnp.max(z), jnp.max(z_inj))
-        self.zgrid = jnp.linspace(self.zmin, self.zmax, 1000)
+        xp = xp_for(z, z_inj)
+        self.zmin = xp.maximum(xp.min(z), xp.min(z_inj))
+        self.zmax = xp.minimum(xp.max(z), xp.max(z_inj))
+        self.zgrid = xp.linspace(self.zmin, self.zmax, 1000)
         self.dVcdzgrid = Planck15.dVcdz(self.zgrid)
         self.grid_bases = _finite_design(self.interpolator.bases(self.zgrid))
         self.differential_comov_vols = [dVdc_inj, dVdc]

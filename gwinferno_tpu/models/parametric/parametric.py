@@ -8,6 +8,7 @@ wrappers keep API parity with the reference
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.integrate import trapezoid
 
 from ...cosmology import PLANCK_2015_LVK_Cosmology as Planck15
@@ -20,6 +21,7 @@ from ...distributions import powerlaw_pdf
 from ...distributions import safe_logaddexp
 from ...distributions import smooth
 from ...distributions import truncnorm_pdf
+from ...utils.host import xp_for
 
 __all__ = [
     "powerlaw_primary_ratio_pdf",
@@ -166,9 +168,13 @@ class PowerlawRedshiftModel:
     """
 
     def __init__(self, z_pe, z_inj, cosmology=Planck15, grid_points=1000):
-        self.zmin = jnp.maximum(jnp.min(z_pe), jnp.min(z_inj))
-        self.zmax = jnp.minimum(jnp.max(z_pe), jnp.max(z_inj))
-        self.zs = jnp.linspace(self.zmin, self.zmax, grid_points)
+        # construction-time caches are HOST numpy for host inputs
+        # (utils.host convention): jitted models close over them as
+        # executable constants instead of slow-to-fetch device buffers
+        xp = xp_for(z_pe, z_inj)
+        self.zmin = xp.maximum(xp.min(z_pe), xp.min(z_inj))
+        self.zmax = xp.minimum(xp.max(z_pe), xp.max(z_inj))
+        self.zs = xp.linspace(self.zmin, self.zmax, grid_points)
         self.dVdz_ = cosmology.dVcdz(self.zs)
         self.dVdzs = [cosmology.dVcdz(z_inj), cosmology.dVcdz(z_pe)]
 

@@ -52,7 +52,7 @@ class PowerlawBasisSplinePrimaryPowerlawRatio:
         self.m2min = m2min
         self.n_splines_m = self.n_splines = n_splines_m
         self.mmin, self.mmax = mmin, mmax
-        self.ms = jnp.linspace(mmin, mmax, 1000)
+        self.ms = np.linspace(mmin, mmax, 1000)
         knots, interior = _clamped_knot_layout(np.log(mmin), np.log(mmax), n_splines_m, k)
         self.knots = knots
         self.interpolator = basis(
@@ -98,9 +98,9 @@ class PowerlawBasisSplinePrimaryRatio:
     def __init__(self, n_splines_m, n_splines_q, m1pe, qpe, m1inj, qinj, mmin=2.0, mmax=100.0, k=4):
         self.n_splines_m, self.n_splines_q = n_splines_m, n_splines_q
         self.mmin, self.mmax = mmin, mmax
-        self.ms = jnp.linspace(mmin, mmax, 1000)
-        self.qs = jnp.linspace(mmin / mmax, 1, 500)
-        self.mm, self.qq = jnp.meshgrid(self.ms, self.qs)
+        self.ms = np.linspace(mmin, mmax, 1000)
+        self.qs = np.linspace(mmin / mmax, 1, 500)
+        self.mm, self.qq = np.meshgrid(self.ms, self.qs)
 
         knotsm, interior_m = _clamped_knot_layout(np.log(mmin), np.log(mmax), n_splines_m, k)
         self.knotsm = knotsm

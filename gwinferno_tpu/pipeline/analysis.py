@@ -283,8 +283,10 @@ def _posterior_predictive_sites(
                     indv_weights[i][ev, obs_idx[ev]] / pe_weights[ev, obs_idx[ev]],
                 )
         for p in param_names:
-            ppl.deterministic(f"{p}_obs_event_{ev}", pedata[p][ev, obs_idx[ev]])
-            ppl.deterministic(f"{p}_pred_event_{ev}", injdata[p][pred_idx[ev]])
+            # jnp.asarray: the banks may be host numpy (utils.host convention)
+            # while obs_idx/pred_idx are traced gather indices
+            ppl.deterministic(f"{p}_obs_event_{ev}", jnp.asarray(pedata[p])[ev, obs_idx[ev]])
+            ppl.deterministic(f"{p}_pred_event_{ev}", jnp.asarray(injdata[p])[pred_idx[ev]])
 
 
 def construct_hierarchical_model(

@@ -79,14 +79,17 @@ def load_pe_and_injections_as_dict(file, ignore=None):
     else:
         sel = np.ones(len(events), dtype=bool)
     p_axis = pe_arr.dims.index("param")
+    # HOST numpy banks (utils.host convention): models close over these as
+    # compile-time constants; a device-resident bank would be fetched back
+    # through the TPU tunnel at every jit lowering (~30 s/MB)
     pedict = {
-        k: jnp.asarray(np.take(pe_arr.data[sel], i, axis=p_axis))
+        k: np.ascontiguousarray(np.take(pe_arr.data[sel], i, axis=p_axis))
         for i, k in enumerate(params)
     }
 
     inj_arr = inj["injections"]
     inj_params = [str(p) for p in inj_arr.coords["param"]]
-    injdict = {k: jnp.asarray(inj_arr.data[i]) for i, k in enumerate(inj_params)}
+    injdict = {k: np.ascontiguousarray(inj_arr.data[i]) for i, k in enumerate(inj_params)}
 
     attrs = dict(inj_arr.attrs) or dict(inj.attrs)
     constants = {
