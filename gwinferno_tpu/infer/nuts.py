@@ -1,18 +1,38 @@
-"""Multinomial NUTS with an iterative (jit-native) tree builder.
+"""Multinomial NUTS with a single-loop (jit-native) iterative tree builder.
 
-The recursive NUTS of Hoffman & Gelman cannot live under ``jit``; we use the
-iterative formulation (Phan & Pradhan's scheme, as in numpyro): a doubling
-loop of ``lax.while_loop``s whose inner subtree construction does U-turn
-checks against a ``max_tree_depth``-sized checkpoint stack, so the whole
-transition is one statically-shaped XLA program -- vmappable across chains
-with divergent per-chain tree depths (finished lanes are masked, not
-branched).
+The recursive NUTS of Hoffman & Gelman cannot live under ``jit``.  The usual
+iterative formulation (numpyro's) is a doubling ``while_loop`` nesting a
+subtree ``while_loop``; round 2 shipped that and measured the consequence on
+TPU: ~2/3 of every transition was tree *bookkeeping* -- per-leaf PRNG splits,
+two loop-nest boundaries, dozens of small buffers -- executed as hundreds of
+O(10 us) kernels, and the nested program dominated XLA compile time.
+
+This version flattens the entire tree into ONE ``lax.while_loop`` over
+leapfrog steps, built on the observation that the iterative scheme's
+(doubling-depth, leaf-within-subtree) schedule is a *static* function of the
+flat iteration index ``i``: doubling ``d`` occupies iterations
+``[2^d - 1, 2^(d+1) - 2]``, so ``depth(i) = floor(log2(i+1))`` and
+``leaf(i) = i - (2^depth - 1)``.  Consequences exploited here:
+
+- every per-leaf quantity that depends only on the schedule (checkpoint slot
+  ranges from popcounts, even/odd flags, subtree-completion flags) is
+  precomputed into constant tables indexed by ``i`` -- zero bookkeeping
+  arithmetic in the loop body;
+- all randomness (doubling directions, per-leaf multinomial uniforms,
+  per-doubling biased-accept uniforms) is pre-generated in three PRNG calls
+  per transition and gathered by ``i`` -- no ``random.split`` inside the
+  loop;
+- the dim-sized tree state (edges, proposals, momentum sums, the subtree's
+  moving edge) is packed into one ``(15, dim)`` buffer whose per-iteration
+  update is a single fused stack of row selects.
 
 Proposal scheme: multinomial sampling within subtrees (progressive, Gumbel-
 free), biased progressive sampling across doublings (favors the new subtree,
 as in Stan).  Termination: generalized U-turn criterion on momentum sums,
-checked at every power-of-two internal node, plus divergence at
-``max_delta_energy``.
+checked at every power-of-two internal node via the checkpoint scheme of
+Phan & Pradhan, plus divergence at ``max_delta_energy``.  The algorithm is
+unchanged from the nested-loop formulation (same trees, same acceptance
+law); only the program structure and the RNG stream differ.
 """
 
 from __future__ import annotations
@@ -21,6 +41,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .hmc_util import MassMatrix
 from .hmc_util import kinetic_energy
@@ -42,22 +63,17 @@ class NUTSState(NamedTuple):
     tree_depth: jax.Array  # depth reached in the last transition
 
 
-class _Tree(NamedTuple):
-    z_left: jax.Array
-    r_left: jax.Array
-    grad_left: jax.Array
-    z_right: jax.Array
-    r_right: jax.Array
-    grad_right: jax.Array
-    z_prop: jax.Array
-    pe_prop: jax.Array
-    grad_prop: jax.Array
-    log_weight: jax.Array  # logsumexp of (H0 - H_leaf) over leaves
-    r_sum: jax.Array  # sum of momenta over all leaves
-    turning: jax.Array
-    diverging: jax.Array
-    sum_accept: jax.Array  # sum of min(1, exp(H0 - H_leaf))
-    num_leaves: jax.Array
+# rows of the packed (15, dim) vector-state buffer
+_Z_L, _R_L, _G_L = 0, 1, 2  # left trajectory edge (position, momentum, gradient)
+_Z_R, _R_R, _G_R = 3, 4, 5  # right trajectory edge
+_Z_P, _G_P = 6, 7  # current tree proposal
+_R_SUM = 8  # momentum sum over the valid tree
+_S_Z, _S_R, _S_G = 9, 10, 11  # subtree moving edge (leapfrog input)
+_S_ZP, _S_GP = 12, 13  # subtree proposal
+_S_RSUM = 14  # subtree momentum sum
+
+# slots of the packed (5,) scalar-state buffer
+_LOGW, _S_LOGW, _PE_P, _S_PE_P, _ACC = range(5)
 
 
 def _is_turning(mm: MassMatrix, r_left, r_right, r_sum):
@@ -70,128 +86,47 @@ def _is_turning(mm: MassMatrix, r_left, r_right, r_sum):
     return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
 
 
-def _popcount(x):
-    """Branchless popcount of a non-negative int32 scalar (vectorized bit
-    extraction; leaf indices are < 2**max_tree_depth << 2**31).  Loop-free on
-    purpose: a ``while_loop`` here would nest 4 deep inside the transition
-    and blow up XLA compile time on TPU."""
-    bits = jnp.arange(32, dtype=x.dtype)
-    return jnp.sum((x >> bits) & 1).astype(x.dtype)
-
-
-def _leaf_to_ckpt(n):
-    """Checkpoint bookkeeping for the iterative U-turn scheme.
-
-    For leaf index ``n`` (0-based within a subtree), returns ``(idx_min,
-    idx_max)``: the checkpoint-slot range to test (odd ``n``) or the slot to
-    store into (even ``n``).  ``idx_max`` = popcount(n >> 1); the number of
-    trailing one-bits of ``n`` fixes how many nested spans end at ``n``
-    (trailing_ones(n) = popcount(n ^ (n+1)) - 1).
-    """
-    idx_max = _popcount(n >> 1)
-    trailing_ones = _popcount(n ^ (n + 1)) - 1
-    idx_min = idx_max - trailing_ones + 1
-    return idx_min, idx_max
-
-
 def _iterative_turning_check(mm, r, r_sum, r_ckpts, r_sum_ckpts, idx_min, idx_max):
     """Check U-turns between the new (odd) leaf and every checkpointed span
     start in ``[idx_min, idx_max]``.
 
     All ``max_tree_depth`` slots are evaluated in one vectorized batch and
     masked to the live range -- at ~10 slots x dim-sized dot products the
-    redundant lanes are free, and it removes two nested ``while_loop`` levels
-    from the compiled transition (the round-1 program spent ~7 min in XLA
-    compile largely on this nest)."""
+    redundant lanes are free, and it keeps the loop body free of any inner
+    control flow."""
     span_r_sum = r_sum[None, :] - r_sum_ckpts + r_ckpts  # (max_depth, dim)
     turning = jax.vmap(lambda r_l, rho_sum: _is_turning(mm, r_l, r, rho_sum))(r_ckpts, span_r_sum)
     slots = jnp.arange(r_ckpts.shape[0])
     return jnp.any(turning & (slots >= idx_min) & (slots <= idx_max))
 
 
-def _build_subtree(step_fn, mm, h0, depth, z0, r0, grad0, direction, step_size, max_delta_energy, max_depth, key):
-    """Build a subtree of ``2**depth`` leaves by iterated leapfrog in
-    ``direction``, with intra-subtree U-turn checkpoints."""
-    dim = z0.shape[0]
-    dtype = z0.dtype
-    num_leaves = jnp.asarray(2**depth, jnp.int32) if isinstance(depth, int) else (1 << depth)
+def _schedule_tables(max_depth):
+    """Static per-iteration schedule of the flat tree loop (numpy, computed
+    once per ``max_depth`` at trace time).
 
-    r_ckpts = jnp.zeros((max_depth, dim), dtype)
-    r_sum_ckpts = jnp.zeros((max_depth, dim), dtype)
+    For flat iteration ``i`` of ``2**max_depth - 1``:
+      depth[i]     doubling this iteration belongs to
+      leaf[i]      leaf index within the current subtree
+      idx_min/max  checkpoint-slot range (popcount bookkeeping of the
+                   iterative U-turn scheme: idx_max = popcount(leaf >> 1);
+                   trailing_ones(leaf) spans end at odd leaves)
+      is_even      leaf parity (even leaves store checkpoints, odd check)
+      complete     this leaf completes its subtree (leaf == 2**depth - 1)
+    """
+    total = (1 << max_depth) - 1
+    i = np.arange(total)
+    depth = np.floor(np.log2(i + 1)).astype(np.int64)
+    leaf = i - ((1 << depth) - 1)
 
-    init_tree = _Tree(
-        z_left=z0, r_left=r0, grad_left=grad0,
-        z_right=z0, r_right=r0, grad_right=grad0,
-        z_prop=z0, pe_prop=jnp.zeros((), dtype), grad_prop=grad0,
-        log_weight=-jnp.inf * jnp.ones((), dtype),
-        r_sum=jnp.zeros(dim, dtype),
-        turning=jnp.zeros((), bool),
-        diverging=jnp.zeros((), bool),
-        sum_accept=jnp.zeros((), dtype),
-        num_leaves=jnp.zeros((), jnp.int32),
-    )
+    def popcount(x):
+        return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
 
-    def cond(carry):
-        leaf, tree, _, _, _, _ = carry
-        return (leaf < num_leaves) & ~tree.turning & ~tree.diverging
-
-    def body(carry):
-        leaf, tree, r_ckpts, r_sum_ckpts, k, _ = carry
-        k, sub = jax.random.split(k)
-        # step from the moving edge (right edge in trajectory coords)
-        z, r, pe, grad = step_fn(tree.z_right, tree.r_right, tree.grad_right, direction * step_size, mm)
-        h = pe + kinetic_energy(mm, r)
-        delta = h - h0
-        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
-        diverging = delta > max_delta_energy
-        leaf_logw = -delta  # multinomial weight: exp(h0 - h)
-        accept = jnp.minimum(1.0, jnp.exp(-delta))
-
-        # progressive multinomial proposal within the subtree
-        new_logw = jnp.logaddexp(tree.log_weight, leaf_logw)
-        take_new = jnp.log(jax.random.uniform(sub, dtype=dtype)) < (leaf_logw - new_logw)
-        z_prop = jnp.where(take_new, z, tree.z_prop)
-        pe_prop = jnp.where(take_new, pe, tree.pe_prop)
-        grad_prop = jnp.where(take_new, grad, tree.grad_prop)
-
-        r_sum = tree.r_sum + r
-
-        # checkpointed U-turn bookkeeping
-        idx_min, idx_max = _leaf_to_ckpt(leaf)
-        is_even = (leaf & 1) == 0
-        r_ckpts = jnp.where(is_even, r_ckpts.at[idx_max].set(r), r_ckpts)
-        r_sum_ckpts = jnp.where(is_even, r_sum_ckpts.at[idx_max].set(r_sum), r_sum_ckpts)
-        turning = jnp.where(
-            is_even | diverging,
-            jnp.zeros((), bool),
-            _iterative_turning_check(mm, r, r_sum, r_ckpts, r_sum_ckpts, idx_min, idx_max),
-        )
-
-        new_tree = _Tree(
-            z_left=tree.z_left, r_left=tree.r_left, grad_left=tree.grad_left,
-            z_right=z, r_right=r, grad_right=grad,
-            z_prop=z_prop, pe_prop=pe_prop, grad_prop=grad_prop,
-            log_weight=new_logw,
-            r_sum=r_sum,
-            turning=turning,
-            diverging=diverging,
-            sum_accept=tree.sum_accept + accept,
-            num_leaves=tree.num_leaves + 1,
-        )
-        # first leaf initializes the left edge of the subtree
-        first = leaf == 0
-        new_tree = new_tree._replace(
-            z_left=jnp.where(first, z, tree.z_left),
-            r_left=jnp.where(first, r, tree.r_left),
-            grad_left=jnp.where(first, grad, tree.grad_left),
-        )
-        return leaf + 1, new_tree, r_ckpts, r_sum_ckpts, k, take_new
-
-    leaf0 = jnp.zeros((), jnp.int32)
-    _, tree, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (leaf0, init_tree, r_ckpts, r_sum_ckpts, key, jnp.zeros((), bool))
-    )
-    return tree
+    idx_max = popcount(leaf >> 1)
+    trailing_ones = popcount(leaf ^ (leaf + 1)) - 1
+    idx_min = idx_max - trailing_ones + 1
+    is_even = (leaf & 1) == 0
+    complete = leaf == (1 << depth) - 1
+    return depth, idx_min, idx_max, is_even, complete
 
 
 def nuts_transition(
@@ -205,93 +140,174 @@ def nuts_transition(
 ):
     """One NUTS transition for a single chain (vmap over chains upstream)."""
     step_fn = leapfrog(potential_fn)
-    dim = state.z.shape[0]
     dtype = state.z.dtype
+    md = int(max_tree_depth)
+    total = (1 << md) - 1
+    depth_tab, idx_min_tab, idx_max_tab, even_tab, complete_tab = _schedule_tables(md)
 
-    key_mom, key_doubling = jax.random.split(key)
+    key_mom, key_dirs, key_mult, key_merge = jax.random.split(key, 4)
     r0 = sample_momentum(mm, key_mom, state.z)
     h0 = state.pe + kinetic_energy(mm, r0)
 
-    init = _Tree(
-        z_left=state.z, r_left=r0, grad_left=state.grad,
-        z_right=state.z, r_right=r0, grad_right=state.grad,
-        z_prop=state.z, pe_prop=state.pe, grad_prop=state.grad,
-        log_weight=jnp.zeros((), dtype),
-        r_sum=r0,
-        turning=jnp.zeros((), bool),
-        diverging=jnp.zeros((), bool),
-        sum_accept=jnp.zeros((), dtype),
-        num_leaves=jnp.ones((), jnp.int32),
+    # all randomness pre-generated: per-doubling directions (one spare slot
+    # so the next-subtree gather at the last merge stays in bounds),
+    # per-leaf multinomial uniforms, per-doubling biased-accept uniforms --
+    # then spread onto the flat iteration axis by static gathers
+    dirs = jnp.where(jax.random.bernoulli(key_dirs, shape=(md + 1,)), 1.0, -1.0).astype(dtype)
+    log_u_mult = jnp.log(jax.random.uniform(key_mult, (total,), dtype=dtype))
+    log_u_merge = jnp.log(jax.random.uniform(key_merge, (md,), dtype=dtype))
+    const_f = jnp.stack(
+        [
+            dirs[depth_tab],  # direction of this iteration's subtree
+            log_u_mult,  # per-leaf multinomial uniform
+            log_u_merge[depth_tab],  # biased-accept uniform at this doubling
+            dirs[depth_tab + 1],  # direction of the NEXT subtree
+        ],
+        axis=1,
+    )  # (total, 4)
+    const_i = jnp.asarray(
+        np.stack([idx_min_tab, idx_max_tab, even_tab, complete_tab], axis=1), jnp.int32
+    )  # (total, 4)
+
+    zeros = jnp.zeros_like(r0)
+    vecs0 = jnp.stack(
+        [
+            state.z, r0, state.grad,  # left edge
+            state.z, r0, state.grad,  # right edge
+            state.z, state.grad,  # tree proposal
+            r0,  # tree momentum sum
+            state.z, r0, state.grad,  # subtree moving edge
+            state.z, state.grad,  # subtree proposal
+            zeros,  # subtree momentum sum
+        ]
     )
+    scal0 = jnp.stack(
+        [
+            jnp.zeros((), dtype),  # tree log weight
+            -jnp.inf * jnp.ones((), dtype),  # subtree log weight
+            state.pe,  # tree proposal potential
+            state.pe,  # subtree proposal potential
+            jnp.zeros((), dtype),  # sum of accept probs
+        ]
+    )
+    ckpts0 = jnp.zeros((2, md) + state.z.shape, dtype)  # [r, r_sum] checkpoints
 
     def cond(carry):
-        depth, tree, _ = carry
-        return (depth < max_tree_depth) & ~tree.turning & ~tree.diverging
+        i, turning, diverging, _, _, _ = carry
+        return (i < total) & ~turning & ~diverging
 
     def body(carry):
-        depth, tree, k = carry
-        k, k_dir, k_sub, k_accept = jax.random.split(k, 4)
-        going_right = jax.random.bernoulli(k_dir)
-        direction = jnp.where(going_right, 1.0, -1.0).astype(dtype)
+        i, _, _, vecs, scal, ckpts = carry
+        f = const_f[i]
+        c = const_i[i]
+        direction, log_u, log_u_m, next_dir = f[0], f[1], f[2], f[3]
+        idx_min, idx_max = c[0], c[1]
+        is_even = c[2] == 1
+        complete = c[3] == 1
 
-        z0 = jnp.where(going_right, tree.z_right, tree.z_left)
-        r0_edge = jnp.where(going_right, tree.r_right, tree.r_left)
-        grad0 = jnp.where(going_right, tree.grad_right, tree.grad_left)
+        # one leapfrog step from the subtree's moving edge
+        z, r, pe, grad = step_fn(vecs[_S_Z], vecs[_S_R], vecs[_S_G], direction * step_size, mm)
+        h = pe + kinetic_energy(mm, r)
+        delta = h - h0
+        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+        diverging = delta > max_delta_energy
+        leaf_logw = -delta  # multinomial weight: exp(h0 - h)
+        accept = jnp.minimum(1.0, jnp.exp(-delta))
 
-        sub = _build_subtree(
-            step_fn, mm, h0, depth, z0, r0_edge, grad0, direction, step_size,
-            max_delta_energy, max_tree_depth, k_sub,
+        # progressive multinomial proposal within the subtree
+        sub_logw = jnp.logaddexp(scal[_S_LOGW], leaf_logw)
+        take = log_u < leaf_logw - sub_logw
+        sub_r_sum = vecs[_S_RSUM] + r
+
+        # checkpointed U-turn bookkeeping: even leaves store, odd leaves test
+        r_ck = jnp.where(is_even, ckpts[0].at[idx_max].set(r), ckpts[0])
+        rs_ck = jnp.where(is_even, ckpts[1].at[idx_max].set(sub_r_sum), ckpts[1])
+        sub_turn = jnp.where(
+            is_even | diverging,
+            jnp.zeros((), bool),
+            _iterative_turning_check(mm, r, sub_r_sum, r_ck, rs_ck, idx_min, idx_max),
         )
-        # NB: depth is traced; _build_subtree uses (1 << depth) leaves.
 
-        # merge edges
-        z_left = jnp.where(going_right, tree.z_left, sub.z_right)
-        r_left = jnp.where(going_right, tree.r_left, sub.r_right)
-        grad_left = jnp.where(going_right, tree.grad_left, sub.grad_right)
-        z_right = jnp.where(going_right, sub.z_right, tree.z_right)
-        r_right = jnp.where(going_right, sub.r_right, tree.r_right)
-        grad_right = jnp.where(going_right, sub.grad_right, tree.grad_right)
+        invalid = sub_turn | diverging
+        merge = complete & ~invalid
 
-        sub_invalid = sub.turning | sub.diverging
+        # merged tree edges (the subtree's far edge replaces the directional
+        # tree edge); computed unconditionally, selected by `merge` below
+        go_right = direction > 0
+        zl = jnp.where(go_right, vecs[_Z_L], z)
+        rl = jnp.where(go_right, vecs[_R_L], r)
+        gl = jnp.where(go_right, vecs[_G_L], grad)
+        zr = jnp.where(go_right, z, vecs[_Z_R])
+        rr = jnp.where(go_right, r, vecs[_R_R])
+        gr = jnp.where(go_right, grad, vecs[_G_R])
+        r_sum_m = vecs[_R_SUM] + sub_r_sum
+        turn_full = _is_turning(mm, rl, rr, r_sum_m)
+
         # biased progressive sampling across the doubling (Stan): favor new
-        take_new = jnp.log(jax.random.uniform(k_accept, dtype=dtype)) < (sub.log_weight - tree.log_weight)
-        take_new = take_new & ~sub_invalid
-        z_prop = jnp.where(take_new, sub.z_prop, tree.z_prop)
-        pe_prop = jnp.where(take_new, sub.pe_prop, tree.pe_prop)
-        grad_prop = jnp.where(take_new, sub.grad_prop, tree.grad_prop)
+        take_m = merge & (log_u_m < sub_logw - scal[_LOGW])
 
-        r_sum = tree.r_sum + sub.r_sum
-        # full-tree U-turn check (only meaningful if the subtree was valid)
-        turning_full = _is_turning(mm, r_left, r_right, r_sum)
-        turning = sub.turning | (turning_full & ~sub.diverging)
+        # subtree proposal, then tree proposal on merge
+        s_zp = jnp.where(take, z, vecs[_S_ZP])
+        s_gp = jnp.where(take, grad, vecs[_S_GP])
+        s_pep = jnp.where(take, pe, scal[_S_PE_P])
+        next_right = next_dir > 0
 
-        new_tree = _Tree(
-            z_left=z_left, r_left=r_left, grad_left=grad_left,
-            z_right=z_right, r_right=r_right, grad_right=grad_right,
-            z_prop=z_prop, pe_prop=pe_prop, grad_prop=grad_prop,
-            log_weight=jnp.where(sub_invalid, tree.log_weight, jnp.logaddexp(tree.log_weight, sub.log_weight)),
-            r_sum=jnp.where(sub_invalid, tree.r_sum, r_sum),
-            turning=turning,
-            diverging=sub.diverging,
-            sum_accept=tree.sum_accept + sub.sum_accept,
-            num_leaves=tree.num_leaves + sub.num_leaves,
+        new_vecs = jnp.stack(
+            [
+                jnp.where(merge, zl, vecs[_Z_L]),
+                jnp.where(merge, rl, vecs[_R_L]),
+                jnp.where(merge, gl, vecs[_G_L]),
+                jnp.where(merge, zr, vecs[_Z_R]),
+                jnp.where(merge, rr, vecs[_R_R]),
+                jnp.where(merge, gr, vecs[_G_R]),
+                jnp.where(take_m, s_zp, vecs[_Z_P]),
+                jnp.where(take_m, s_gp, vecs[_G_P]),
+                jnp.where(merge, r_sum_m, vecs[_R_SUM]),
+                # next subtree's moving edge: the merged tree edge in the
+                # next doubling's direction (mid-subtree: this leaf)
+                jnp.where(merge, jnp.where(next_right, zr, zl), z),
+                jnp.where(merge, jnp.where(next_right, rr, rl), r),
+                jnp.where(merge, jnp.where(next_right, gr, gl), grad),
+                s_zp,
+                s_gp,
+                jnp.where(merge, zeros, sub_r_sum),
+            ]
         )
-        return depth + 1, new_tree, k
+        new_scal = jnp.stack(
+            [
+                jnp.where(merge, jnp.logaddexp(scal[_LOGW], sub_logw), scal[_LOGW]),
+                jnp.where(merge, -jnp.inf, sub_logw),
+                jnp.where(take_m, s_pep, scal[_PE_P]),
+                s_pep,
+                scal[_ACC] + accept,
+            ]
+        )
+        new_ckpts = jnp.stack([r_ck, rs_ck])
+        turning = sub_turn | (merge & turn_full)
+        return i + 1, turning, diverging, new_vecs, new_scal, new_ckpts
 
-    depth, tree, _ = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), init, key_doubling))
+    i0 = jnp.zeros((), jnp.int32)
+    flag0 = jnp.zeros((), bool)
+    i_end, turning, diverging, vecs, scal, _ = jax.lax.while_loop(
+        cond, body, (i0, flag0, flag0, vecs0, scal0, ckpts0)
+    )
 
-    num_proposals = jnp.maximum(tree.num_leaves - 1, 1)
-    accept_prob = tree.sum_accept / num_proposals.astype(dtype)
-    new_pe, new_grad = tree.pe_prop, tree.grad_prop
+    # attempted-doubling count for parity with the nested formulation: a
+    # mid-subtree stop still counts the doubling it happened in
+    depth_of = jnp.asarray(depth_tab, jnp.int32)
+    tree_depth = jnp.where(turning | diverging, depth_of[i_end - 1] + 1, md)
+
+    num_steps = i_end
+    accept_prob = scal[_ACC] / jnp.maximum(num_steps, 1).astype(dtype)
     return NUTSState(
-        z=tree.z_prop,
-        pe=new_pe,
-        grad=new_grad,
+        z=vecs[_Z_P],
+        pe=scal[_PE_P],
+        grad=vecs[_G_P],
         energy=h0,
         accept_prob=accept_prob,
-        num_steps=tree.num_leaves - 1,
-        diverging=tree.diverging,
-        tree_depth=depth,
+        num_steps=num_steps,
+        diverging=diverging,
+        tree_depth=tree_depth,
     )
 
 
