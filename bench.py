@@ -36,12 +36,12 @@ RETRIES = int(os.environ.get("BENCH_RETRIES", 3))
 
 def ensure_data():
     """The bench problem: the self-consistent synthetic catalog (69 events
-    drawn from a KNOWN powerlaw+peak population, detected by the same proxy
-    search that produced the injection bank, flat-prior Gaussian PE clouds --
-    make_synthetic_injections.TRUE_POP).  The real GWTC-3 test catalog makes
-    this model ill-posed (broad PE z-tails admit MC-artifact runaway modes
-    through the n_eff cuts); it remains the fixture for the shape/contract
-    tests."""
+    x 8000 PE samples drawn from a KNOWN powerlaw+peak+spins population,
+    detected by the same proxy search that produced the injection bank,
+    flat-prior truncnorm PE clouds -- make_synthetic_injections.TRUE_POP).
+    The real GWTC-3 test catalog makes this model ill-posed (broad PE
+    z-tails admit MC-artifact runaway modes through the n_eff cuts); it
+    remains the fixture for the shape/contract tests."""
     gen = os.path.join(HERE, "tests", "data", "make_synthetic_injections.py")
     target = os.path.join(HERE, "tests", "data", "pe_inj_synthetic.h5")
     if not os.path.exists(target) or os.path.getmtime(target) < os.path.getmtime(gen):
@@ -50,56 +50,96 @@ def ensure_data():
 
 
 def make_model(pedict, injdict, constants, z_model):
-    """Powerlaw+peak mass x powerlaw redshift over the 69-event test catalog.
+    """The FULL 14-hyperparameter PR1 powerlaw+peak model WITH spins
+    (reference examples/simple_powerlaw_peak_example.py:29-113): powerlaw+
+    peak (m1, q), INDEPENDENT beta spin magnitudes parameterized by
+    (mu, var), INDEPENDENT isotropic+aligned tilt mixtures, powerlaw-in-
+    (1+z) redshift evolution, production min_neff_cut=True.
 
-    This is the reference's canonical test-catalog model
-    (tests/inference_test.py:162-198: spinless powerlaw mass + redshift on
-    the checked-in nospin GWTC-3 file) with the PR1 config's Gaussian peak
-    added and the production min_neff_cut=True.  Spins are excluded,
-    matching the reference's own use of THIS catalog: the 1000-sample
-    downsampled banks put spin-weighted populations' per-event n_eff at ~86
-    vs the wall at 69, so every trajectory terminates against the wall.  The
-    synthetic injection bank's detection horizon is tuned so found
-    injections match the catalog's redshift reach (make_synthetic_injections
-    D0_MPC); with the earlier too-deep bank the fit ran to lamb ~ -6 jammed
-    on the n_eff walls regardless of the cut setting.
+    Two deliberate deviations from the reference example's literal text,
+    both 'intended semantics' per SURVEY.md S7.3:
+
+    - weights are computed in log space end to end (the reference's linear
+      products overflow f32 on TPU -- its own tests only ever run f64 CPU);
+    - the (mu, var) -> (alpha, beta) beta-shape map is the standard moment
+      map the reference ships as
+      gwinferno/preprocess/conversions.py:88 (alpha_beta_from_mu_var).  The
+      example's inline 'alpha_a1 = mu_a1 * var_a1' (line 64) caps alpha at
+      0.25 for every (mu, var) in its own prior box, i.e. admits ONLY
+      double-divergent U-shaped betas and can represent no realistic spin
+      truth; it is a typo for the moment map.
     """
     import jax.numpy as jnp
+    import numpy as np
 
     from gwinferno_tpu import ppl
+    from gwinferno_tpu.models.parametric.parametric import log_independent_spin_magnitude_beta_dist
+    from gwinferno_tpu.models.parametric.parametric import log_independent_spin_tilt
     from gwinferno_tpu.models.parametric.parametric import log_plpeak_primary_ratio_pdf
     from gwinferno_tpu.pipeline.analysis import hierarchical_likelihood
     from gwinferno_tpu.ppl import distributions as dist
 
     # PE and injection banks concatenated into ONE flat vector per parameter:
-    # the pdf chains evaluate once over 80.6k elements instead of twice over
-    # 69k + 11.6k -- halves the number of (latency-bound) fused kernels per
-    # NUTS gradient on TPU
+    # the pdf chains evaluate once over one ~320k vector instead of twice
+    # over 276k + 46k -- halves the number of fused kernels per NUTS gradient.
+    # All banks are HOST numpy f32 (utils.host convention): the jitted scan
+    # closes over them as executable constants -- device-resident constants
+    # cost ~30 s/MB to fetch at jit lowering through the remote-TPU tunnel.
     E, S = pedict["mass_1"].shape
     n_pe = E * S
 
     def cat(name):
-        return jnp.concatenate([pedict[name].reshape(-1), injdict[name]])
+        return np.concatenate([np.asarray(pedict[name]).reshape(-1), np.asarray(injdict[name])])
 
-    bank = {k: cat(k) for k in ("mass_1", "mass_ratio", "redshift")}
-    log_prior_all = jnp.log(cat("prior"))
+    bank = {
+        k: cat(k)
+        for k in ("mass_1", "mass_ratio", "redshift", "a_1", "a_2", "cos_tilt_1", "cos_tilt_2")
+    }
+    log_prior_all = np.log(cat("prior"))
     # dVc/dz at the concatenated bank (PowerlawRedshiftModel caches per-bank)
-    log_dvdz_all = jnp.log(jnp.concatenate([z_model.dVdzs[1].reshape(-1), z_model.dVdzs[0]]))
-    log1p_z_all = jnp.log1p(bank["redshift"])
+    log_dvdz_all = np.log(
+        np.concatenate([np.asarray(z_model.dVdzs[1]).reshape(-1), np.asarray(z_model.dVdzs[0])])
+    )
+    log1p_z_all = np.log1p(bank["redshift"])
+
+    def beta_ab(mu, var):
+        nu = mu * (1.0 - mu) / var - 1.0
+        return mu * nu, (1.0 - mu) * nu
 
     def model():
+        # mass (5)
         beta = ppl.sample("beta", dist.Normal(0, 5))
         alpha = ppl.sample("alpha", dist.Normal(0, 5))
         mu_peak = ppl.sample("mu_peak", dist.Uniform(MMIN, MMAX))
         sig_peak = ppl.sample("sig_peak", dist.HalfNormal(10))
         lambda_m = ppl.sample("lambda_m", dist.Uniform(0, 1))
+        # spin magnitudes, independent (4)
+        mu_a1 = ppl.sample("mu_a1", dist.Uniform(0, 1))
+        var_a1 = ppl.sample("var_a1", dist.Uniform(0.005, 0.25))
+        mu_a2 = ppl.sample("mu_a2", dist.Uniform(0, 1))
+        var_a2 = ppl.sample("var_a2", dist.Uniform(0.005, 0.25))
+        # spin tilts, independent (4)
+        lambda_ct1 = ppl.sample("lambda_ct1", dist.Uniform(0, 1))
+        lambda_ct2 = ppl.sample("lambda_ct2", dist.Uniform(0, 1))
+        sig_ct1 = ppl.sample("sig_ct1", dist.Uniform(0.1, 4))
+        sig_ct2 = ppl.sample("sig_ct2", dist.Uniform(0.1, 4))
+        # redshift (1)
         lamb = ppl.sample("lamb", dist.Normal(0, 5))
+
+        alpha_a1, beta_a1 = beta_ab(mu_a1, var_a1)
+        alpha_a2, beta_a2 = beta_ab(mu_a2, var_a2)
 
         # log space end to end: f32 on TPU cannot square linear weights
         z_lognorm = jnp.log(z_model.normalization(lamb))
         logw = (
             log_plpeak_primary_ratio_pdf(
                 bank["mass_1"], bank["mass_ratio"], alpha, beta, MMIN, MMAX, mu_peak, sig_peak, lambda_m
+            )
+            + log_independent_spin_magnitude_beta_dist(
+                bank["a_1"], bank["a_2"], alpha_a1, beta_a1, alpha_a2, beta_a2
+            )
+            + log_independent_spin_tilt(
+                bank["cos_tilt_1"], bank["cos_tilt_2"], lambda_ct1, lambda_ct2, sig_ct1, sig_ct2
             )
             + jnp.where(
                 bank["redshift"] <= z_model.zmax,
@@ -126,8 +166,19 @@ def make_model(pedict, injdict, constants, z_model):
 
 
 FIDUCIAL_INIT = {
-    "alpha": -2.35, "beta": 1.0, "mu_peak": 35.0, "sig_peak": 5.0, "lambda_m": 0.05,
+    "alpha": -2.35, "beta": 1.0, "mu_peak": 35.0, "sig_peak": 5.0, "lambda_m": 0.25,
+    "mu_a1": 0.35, "var_a1": 0.03, "mu_a2": 0.35, "var_a2": 0.03,
+    "lambda_ct1": 0.7, "lambda_ct2": 0.7, "sig_ct1": 0.5, "sig_ct2": 0.5,
     "lamb": 1.7, "unscaled_rate": 69.0,
+}
+
+# the synthetic catalog's population truth, keyed by model site name
+# (make_synthetic_injections.TRUE_POP)
+TRUTH = {
+    "alpha": -2.35, "beta": 1.0, "mu_peak": 35.0, "sig_peak": 5.0, "lambda_m": 0.25,
+    "mu_a1": 0.35, "var_a1": 0.03, "mu_a2": 0.35, "var_a2": 0.03,
+    "lambda_ct1": 0.7, "lambda_ct2": 0.7, "sig_ct1": 0.5, "sig_ct2": 0.5,
+    "lamb": 1.7,
 }
 
 
@@ -140,7 +191,9 @@ def make_init(seed):
 
     key = jax.random.PRNGKey(100 + seed)
     jitter = {
-        "alpha": 0.3, "beta": 0.3, "mu_peak": 2.0, "sig_peak": 1.0, "lambda_m": 0.03,
+        "alpha": 0.3, "beta": 0.3, "mu_peak": 2.0, "sig_peak": 1.0, "lambda_m": 0.05,
+        "mu_a1": 0.05, "var_a1": 0.01, "mu_a2": 0.05, "var_a2": 0.01,
+        "lambda_ct1": 0.1, "lambda_ct2": 0.1, "sig_ct1": 0.15, "sig_ct2": 0.15,
         "lamb": 0.5, "unscaled_rate": 10.0,
     }
     init = {}
@@ -158,7 +211,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
 
     from gwinferno_tpu.infer import MCMC, NUTS
-    from gwinferno_tpu.infer.diagnostics import effective_sample_size
+    from gwinferno_tpu.infer.diagnostics import effective_sample_size, split_rhat
     from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel
     from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
     from gwinferno_tpu.utils.prof import Timer
@@ -170,6 +223,7 @@ def main():
         pedict, injdict, constants, _ = load_pe_and_injections_as_dict(data_file)
         z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
         model = make_model(pedict, injdict, constants, z_model)
+    n_ev, n_samp = pedict["mass_1"].shape
 
     mcmc = MCMC(
         NUTS(
@@ -217,11 +271,39 @@ def main():
         if base.get("ess_per_s"):
             vs_baseline = value / base["ess_per_s"]
 
+    # --- statistical-quality self-checks ON THE BENCHED RUN itself -------
+    # (VERDICT r2 item 2: the headline number carries its own evidence)
+    flat = {k: np.asarray(v).reshape(-1) for k, v in samples.items()}
+    truth_z = {}
+    for k, tv in TRUTH.items():
+        mean, sd = float(flat[k].mean()), float(flat[k].std())
+        truth_z[k] = round(abs(mean - tv) / max(sd, 1e-12), 2)
+    truth_ok = all(z < 3.0 for z in truth_z.values())
+
+    # parity vs the INDEPENDENT numpy implementation + ensemble sampler
+    # (tools/parity/): benched means within combined MC error of its means
+    parity_path = os.path.join(HERE, "tools", "parity", "parity_baseline.json")
+    parity_z, parity_ok = {}, None
+    if os.path.exists(parity_path):
+        with open(parity_path) as f:
+            pb = json.load(f)
+        for k, m in pb.get("moments", {}).items():
+            if k not in flat:
+                continue
+            mean, sd = float(flat[k].mean()), float(flat[k].std())
+            se = (sd**2 / max(ess[k], 1.0) + m["mc_se"] ** 2) ** 0.5
+            parity_z[k] = round(abs(mean - m["mean"]) / max(se, 1e-12), 2)
+        # 5 sigma of combined MC error: both estimates are noisy and the
+        # samplers/precisions differ (f32 TPU NUTS vs f64 numpy ensemble)
+        parity_ok = bool(parity_z) and all(z < 5.0 for z in parity_z.values())
+
     timer.report(print_fn=lambda s: print(s, file=sys.stderr))
     extra = mcmc.get_extra_fields()
+    n_div = int(np.sum(np.asarray(extra["diverging"])))
+    div_rate = n_div / (SAMPLES * N_CHAINS)
     platform = jax.devices()[0].platform
     result = {
-        "metric": f"min-ESS/s, powerlaw+peak NUTS (69 evs x 1000 samps, 7 hyperparams, {WARMUP}w+{SAMPLES}s, {N_CHAINS} chains)",
+        "metric": f"min-ESS/s, powerlaw+peak NUTS w/ spins ({n_ev} evs x {n_samp} samps, 14 hyperparams, {WARMUP}w+{SAMPLES}s, {N_CHAINS} chains)",
         "value": round(value, 3),
         "unit": "effective samples/s/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
@@ -229,12 +311,24 @@ def main():
             "wall_s": round(wall, 2),
             "compile_plus_first_run_s": round(timer.totals["compile+first_run"], 2),
             "min_ess": round(min_ess, 1),
-            "n_divergences": int(np.sum(np.asarray(extra["diverging"]))),
+            "n_divergences": n_div,
+            "divergence_rate": round(div_rate, 4),
             "mean_tree_depth": round(float(np.mean(np.asarray(extra["tree_depth"]))), 2),
+            "max_rhat": round(max(float(split_rhat(np.asarray(v))) for v in samples.values()), 3),
             "platform": platform,
             "fused_kernel": os.environ.get("GWINF_FUSED", "auto"),
+            "truth_recovery_z": truth_z,
+            "truth_within_3sd": truth_ok,
+            "parity_z_vs_independent": parity_z,
+            "parity_within_5se": parity_ok,
         },
     }
+    if not truth_ok:
+        print(f"WARNING: truth recovery failed: {truth_z}", file=sys.stderr)
+    if parity_ok is False:
+        print(f"WARNING: parity check failed: {parity_z}", file=sys.stderr)
+    if div_rate >= 0.01:
+        print(f"WARNING: divergence rate {div_rate:.2%} >= 1%", file=sys.stderr)
     print(json.dumps(result))
 
 

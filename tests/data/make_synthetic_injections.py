@@ -14,6 +14,12 @@ Draw distributions (all densities tracked exactly):
   z ~ dVc/dz (1+z)^1.7 / norm on [1e-4, 2.3]
   spins: isotropic directions, uniform magnitudes (vector pdf 1/(4 pi a^2))
 Detection: proxy SNR ~ Mc_det^(5/6)/DL with a random projection factor.
+The bank is drawn deep (N_GEN) so that spin-weighted populations keep
+n_eff_inj comfortably above the production 4*Nobs wall: the found
+injections' spin dims are uniform/isotropic draws, so a beta-magnitude x
+aligned-tilt population costs a ~4-5x n_eff factor on top of the mass/z
+weighting (round-3 sizing; with the round-2 24M bank the 14-parameter
+posterior bulk sat within ~1.4x of the wall).
 
 The horizon scale D0 is tuned so the FOUND injections' redshift
 distribution matches the real 69-event catalog (median z_found 0.31 vs
@@ -43,7 +49,7 @@ from gwinferno_tpu.cosmology import PLANCK_2015_LVK_Cosmology as cosmo  # noqa: 
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SEED = 20260817
-N_GEN = 24_000_000
+N_GEN = 96_000_000
 CHUNK = 2_000_000
 ALPHA, BETA = -2.35, 1.0
 MMIN, MMAX = 2.0, 100.0
@@ -64,10 +70,42 @@ D0_MPC = 1600.0  # proxy-SNR horizon scale (see module docstring)
 # PE z-tails let runaway hyperparameters (lamb ~ +14 or -6) pass the n_eff
 # cuts via importance-weight saturation, so chains of ANY sampler drift into
 # MC-artifact modes (round-2 bench post-mortem).
+#
+# Round 3 (VERDICT items 1-2): the catalog carries a FULL spin truth so the
+# 14-hyperparameter PR1 model (reference
+# examples/simple_powerlaw_peak_example.py:29-113) is exercised end to end:
+# beta-distributed magnitudes (moments mu_a/var_a, i.e. Beta(2.30, 4.28)),
+# isotropic+aligned tilt mixtures, and informative spin PE clouds.  S=4000
+# PE samples/event clears the min(n_eff) > Nobs wall for spin-weighted
+# models (the 1000-sample banks put it at ~86 vs the wall at 69).  The peak
+# fraction is 0.25 (round 2's 0.05 truth left mu_peak/sig_peak/lambda_m
+# near-prior -- the 'powerlaw+peak' label was barely exercised).
 N_EVENTS = 69
-N_PE_SAMPLES = 1000
+N_PE_SAMPLES = 8000
 TRUE_POP = {"alpha": -2.35, "beta": 1.0, "mmin": 5.0, "mmax": 100.0,
-            "mpp": 35.0, "sigpp": 5.0, "lam_peak": 0.05, "lamb_z": 1.7}
+            "mpp": 35.0, "sigpp": 5.0, "lam_peak": 0.25, "lamb_z": 1.7,
+            # spin truth, shared by both components (the independent-spin
+            # model recovers equal component truths)
+            "mu_a": 0.35, "var_a": 0.03, "xi_tilt": 0.7, "sig_tilt": 0.5}
+
+
+def beta_ab_from_mu_var(mu, var):
+    """Standard beta-distribution moment map (reference
+    gwinferno/preprocess/conversions.py:88 semantics)."""
+    nu = mu * (1 - mu) / var - 1.0
+    return mu * nu, (1 - mu) * nu
+
+
+def _truncnorm_rejection(rng, loc, sig, lo, hi, shape):
+    """Vectorized rejection sampling of N(loc, sig) truncated to [lo, hi]
+    (loc may lie outside the interval; broadcastable)."""
+    loc = np.broadcast_to(loc, shape)
+    x = loc + sig * rng.standard_normal(shape)
+    bad = (x < lo) | (x > hi)
+    while bad.any():
+        x[bad] = (loc[bad] + sig * rng.standard_normal(bad.sum()))
+        bad = (x < lo) | (x > hi)
+    return x
 
 
 def powerlaw_icdf(u, alpha, lo, hi):
@@ -123,63 +161,87 @@ def _generate_chunk(rng, n, zgrid, pz_grid, cdf):
 
 
 def _draw_population(rng, n, zgrid, pz_grid, cdf):
-    """Draw n sources from the TRUE powerlaw+peak population."""
+    """Draw n sources from the TRUE powerlaw+peak population (with spins)."""
     p = TRUE_POP
     from_peak = rng.uniform(size=n) < p["lam_peak"]
     m_pl = powerlaw_icdf(rng.uniform(size=n), p["alpha"], p["mmin"], p["mmax"])
-    # truncated-normal peak by simple resampling
-    m_pk = rng.normal(p["mpp"], p["sigpp"], size=n)
-    bad = (m_pk < p["mmin"]) | (m_pk > p["mmax"])
-    while bad.any():
-        m_pk[bad] = rng.normal(p["mpp"], p["sigpp"], size=bad.sum())
-        bad = (m_pk < p["mmin"]) | (m_pk > p["mmax"])
+    m_pk = _truncnorm_rejection(rng, p["mpp"], p["sigpp"], p["mmin"], p["mmax"], (n,))
     m1 = np.where(from_peak, m_pk, m_pl)
     q = powerlaw_icdf(rng.uniform(size=n), p["beta"], p["mmin"] / m1, 1.0)
     z = np.interp(rng.uniform(size=n), cdf, zgrid)
-    return m1, q, z
+    # spins: Beta(mu_a, var_a) magnitudes; isotropic+aligned tilt mixture
+    aa, bb = beta_ab_from_mu_var(p["mu_a"], p["var_a"])
+    a1, a2 = rng.beta(aa, bb, size=n), rng.beta(aa, bb, size=n)
+    aligned1 = rng.uniform(size=n) < p["xi_tilt"]
+    aligned2 = rng.uniform(size=n) < p["xi_tilt"]
+    ct_ali1 = _truncnorm_rejection(rng, 1.0, p["sig_tilt"], -1.0, 1.0, (n,))
+    ct_ali2 = _truncnorm_rejection(rng, 1.0, p["sig_tilt"], -1.0, 1.0, (n,))
+    ct1 = np.where(aligned1, ct_ali1, rng.uniform(-1, 1, size=n))
+    ct2 = np.where(aligned2, ct_ali2, rng.uniform(-1, 1, size=n))
+    return m1, q, z, a1, a2, ct1, ct2
 
 
 def generate_event_catalog(rng, zgrid, cdf_pop):
-    """Detected synthetic events + flat-prior Gaussian PE sample clouds.
+    """Detected synthetic events + flat-prior PE sample clouds.
+
+    Measurement model per parameter x: x_obs = x_true + noise (UNclipped, so
+    the flat-prior posterior is exactly a truncated normal located at x_obs),
+    PE samples ~ truncnorm(x_obs, sigma, support).  With the prior row == 1
+    (flat, unnormalized) this is an exactly self-consistent hierarchical
+    dataset.  Masses/redshift use lognormal clouds as before; spins use
+    truncated-normal clouds on their supports -- the PE banks are genuinely
+    informative about every one of the 14 PR1 hyperparameters.
 
     Returns (n_events, n_params, n_samples) with the real catalog's param
     row order."""
-    p = TRUE_POP
     kept = []
     while sum(len(k[0]) for k in kept) < N_EVENTS:
-        m1, q, z = _draw_population(rng, 200_000, zgrid, None, cdf_pop)
+        m1, q, z, a1, a2, ct1, ct2 = _draw_population(rng, 200_000, zgrid, None, cdf_pop)
         m2 = q * m1
         Mc = (m1 * m2) ** (3.0 / 5.0) / (m1 + m2) ** (1.0 / 5.0)
         DL = np.asarray(cosmo.z2DL(z))
         snr = 8.0 * ((Mc * (1 + z)) / 25.0) ** (5.0 / 6.0) * (D0_MPC / DL)
         w = rng.uniform(size=len(m1)) ** (1.0 / 3.0)
         det = snr * w > 8.0
-        kept.append((m1[det], q[det], z[det]))
-    m1 = np.concatenate([k[0] for k in kept])[:N_EVENTS]
-    q = np.concatenate([k[1] for k in kept])[:N_EVENTS]
-    z = np.concatenate([k[2] for k in kept])[:N_EVENTS]
+        kept.append((m1[det], q[det], z[det], a1[det], a2[det], ct1[det], ct2[det]))
+    m1, q, z, a1, a2, ct1, ct2 = (np.concatenate([k[i] for k in kept])[:N_EVENTS] for i in range(7))
 
-    # measurement model: theta_obs = truth + noise; PE samples = posterior
-    # under a flat prior = N(theta_obs, sigma) clouds (prior row == 1)
     S = N_PE_SAMPLES
     sig_lnm, sig_q, sig_lnz = 0.08, 0.08, 0.08
+    # spin-cloud widths sized so the hard per-event n_eff wall (> Nobs,
+    # production min_neff_cut) stays >> 1 posterior-sd from the posterior
+    # bulk: broader clouds (0.20/0.30 in round-3's first cut) put the
+    # 14-param posterior's min-n_eff median only 2.7x above the wall and
+    # EVERY NUTS trajectory crossed it (100% divergence flags).  The
+    # collapse directions are small sig_ct / small var_a, where the
+    # population gets narrower than the measurement -- informative clouds
+    # keep the posterior out of those zones (tools/diagnose_divergences.py)
+    sig_a, sig_ct = 0.14, 0.20
     lnm_obs = np.log(m1) + sig_lnm * rng.standard_normal(N_EVENTS)
     q_obs = q + sig_q * rng.standard_normal(N_EVENTS)
     lnz_obs = np.log(z) + sig_lnz * rng.standard_normal(N_EVENTS)
     m1_s = np.exp(lnm_obs[:, None] + sig_lnm * rng.standard_normal((N_EVENTS, S)))
-    q_s = np.clip(q_obs[:, None] + sig_q * rng.standard_normal((N_EVENTS, S)), 0.02, 1.0)
+    q_s = _truncnorm_rejection(rng, q_obs[:, None], sig_q, 0.02, 1.0, (N_EVENTS, S))
     z_s = np.exp(lnz_obs[:, None] + sig_lnz * rng.standard_normal((N_EVENTS, S)))
-    a1_s, a2_s = rng.uniform(size=(N_EVENTS, S)), rng.uniform(size=(N_EVENTS, S))
-    ct1_s, ct2_s = rng.uniform(-1, 1, (N_EVENTS, S)), rng.uniform(-1, 1, (N_EVENTS, S))
+
+    def spin_cloud(x, sig, lo, hi):
+        x_obs = x + sig * rng.standard_normal(N_EVENTS)
+        return _truncnorm_rejection(rng, x_obs[:, None], sig, lo, hi, (N_EVENTS, S))
+
+    a1_s = spin_cloud(a1, sig_a, 0.0, 1.0)
+    a2_s = spin_cloud(a2, sig_a, 0.0, 1.0)
+    ct1_s = spin_cloud(ct1, sig_ct, -1.0, 1.0)
+    ct2_s = spin_cloud(ct2, sig_ct, -1.0, 1.0)
 
     params = ["redshift", "mass_1", "a_1", "cos_tilt_1", "mass_2", "a_2", "cos_tilt_2", "mass_ratio", "prior"]
     data = np.stack(
         [z_s, m1_s, a1_s, ct1_s, q_s * m1_s, a2_s, ct2_s, q_s, np.ones((N_EVENTS, S))], axis=1
     )
     print(
-        f"synthetic catalog: {N_EVENTS} events, med z {np.median(z):.3f}, med m1 {np.median(m1):.1f}"
+        f"synthetic catalog: {N_EVENTS} events, med z {np.median(z):.3f}, med m1 {np.median(m1):.1f}, "
+        f"med a {np.median(np.concatenate([a1, a2])):.2f}, med ct {np.median(np.concatenate([ct1, ct2])):.2f}"
     )
-    return params, data, {"m1": m1, "q": q, "z": z}
+    return params, data, {"m1": m1, "q": q, "z": z, "a1": a1, "a2": a2, "ct1": ct1, "ct2": ct2}
 
 
 def main():

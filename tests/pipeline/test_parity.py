@@ -23,7 +23,12 @@ from gwinferno_tpu.infer.diagnostics import effective_sample_size
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 BASELINE = os.path.join(ROOT, "tools", "parity", "parity_baseline.json")
 
-PARAMS = ["alpha", "beta", "mu_peak", "sig_peak", "lambda_m", "lamb"]
+PARAMS = [
+    "alpha", "beta", "mu_peak", "sig_peak", "lambda_m",
+    "mu_a1", "var_a1", "mu_a2", "var_a2",
+    "lambda_ct1", "lambda_ct2", "sig_ct1", "sig_ct2",
+    "lamb",
+]
 
 
 @pytest.mark.skipif(not os.path.exists(BASELINE), reason="run tools/parity/make_parity_baseline.py first")
@@ -66,10 +71,9 @@ def test_posterior_moments_match_independent_implementation(pe_inj_synthetic_fil
         )
 
     # truth recovery: the catalog was GENERATED from TRUE_POP
-    # (tests/data/make_synthetic_injections.py); the well-identified
-    # hyperparameters must cover the truth within ~3 posterior sd
-    truth = {"alpha": -2.35, "beta": 1.0, "lamb": 1.7, "lambda_m": 0.05}
-    for name, t in truth.items():
+    # (tests/data/make_synthetic_injections.py); every hyperparameter must
+    # cover the truth within ~3 posterior sd
+    for name, t in bench.TRUTH.items():
         ours = np.asarray(s[name])
         assert abs(ours.mean() - t) < 3.0 * ours.std() + 0.05, (
             f"{name}: posterior {ours.mean():.3f} +/- {ours.std():.3f} excludes truth {t}"

@@ -9,10 +9,13 @@ about BOTH the model math and the sampler, replacing round 1's
 self-consistency-only story (BASELINE.md's numpyro-on-CPU procedure is
 impossible here: numpyro is not installed).
 
-Model: the bench's spinless powerlaw+peak mass x powerlaw redshift
-hierarchical likelihood over the self-consistent synthetic 69-event catalog
-(known population truth) with the synthetic O3-schema injection set,
-min_neff_cut=True, log weights (bench.py:make_model; reference semantics
+Model: the bench's FULL 14-hyperparameter PR1 powerlaw+peak configuration
+(powerlaw+peak mass, independent beta spin magnitudes via the (mu, var)
+moment map, independent isotropic+aligned tilt mixtures, powerlaw redshift)
+over the self-consistent synthetic 69-event catalog (known population truth)
+with the synthetic O3-schema injection set, min_neff_cut=True, log weights
+(bench.py:make_model; reference semantics
+gwinferno/examples/simple_powerlaw_peak_example.py:29-113 +
 gwinferno/pipeline/analysis.py).  ``unscaled_rate`` is excluded: its
 posterior is analytically Gamma(Nobs) independent of the data, checked
 separately.
@@ -78,6 +81,39 @@ def log_truncnorm(x, mu, sig, lo, hi):
     return truncnorm.logpdf(x, a, b, loc=mu, scale=sig)
 
 
+def log_truncnorm_fast(dx2, mu, sig, lo, hi):
+    """Truncated-normal logpdf from a PRECOMPUTED (x - center)^2 array
+    (``dx2``), scalar (mu, sig): direct formula via the normal cdf --
+    ~30x cheaper than scipy.stats.truncnorm on the 320k-element banks."""
+    from scipy.special import ndtr
+
+    zmass = ndtr((hi - mu) / sig) - ndtr((lo - mu) / sig)
+    return -0.5 * dx2 / sig**2 - np.log(sig) - 0.5 * np.log(2 * np.pi) - np.log(zmass)
+
+
+def log_beta_pdf(log_x, log_1mx, a, b):
+    """Beta(a, b) logpdf on [0, 1] from precomputed log(x), log(1-x)."""
+    from scipy.special import betaln
+
+    return (a - 1.0) * log_x + (b - 1.0) * log_1mx - betaln(a, b)
+
+
+def beta_ab_from_mu_var(mu, var):
+    """Standard beta moment map (same semantics the bench model uses).
+    Invalid (nu <= 0) regions are the caller's wall."""
+    nu = mu * (1.0 - mu) / var - 1.0
+    return mu * nu, (1.0 - mu) * nu
+
+
+def log_tilt_mixture(dct2, log_in_support, xi, sig):
+    """Isotropic + aligned-truncnorm(1, sig) tilt mixture logpdf from a
+    precomputed (ct - 1)^2 array; in-support handling via the precomputed
+    ``log_in_support`` (0 inside [-1, 1], -inf outside)."""
+    log_iso = np.log1p(-xi) - np.log(2.0) + log_in_support
+    log_ali = np.log(xi) + log_truncnorm_fast(dct2, 1.0, sig, -1.0, 1.0) + log_in_support
+    return np.logaddexp(log_iso, log_ali)
+
+
 def logsumexp(a, axis=None):
     m = np.max(a, axis=axis, keepdims=True)
     m = np.where(np.isfinite(m), m, 0.0)
@@ -85,9 +121,17 @@ def logsumexp(a, axis=None):
     return out
 
 
+PARAM_ORDER = [
+    "alpha", "beta", "mu_peak", "sig_peak", "lambda_m",
+    "mu_a1", "var_a1", "mu_a2", "var_a2",
+    "lambda_ct1", "lambda_ct2", "sig_ct1", "sig_ct2",
+    "lamb",
+]
+
+
 class IndependentPosterior:
-    """log posterior(theta) for theta = (alpha, beta, mu_peak, sig_peak,
-    lambda_m, lamb) in constrained space."""
+    """log posterior(theta) for the 14 constrained-space hyperparameters in
+    ``PARAM_ORDER``."""
 
     MMIN, MMAX = 5.0, 100.0
 
@@ -103,6 +147,20 @@ class IndependentPosterior:
         self.Ninj = float(constants["total_inj"])
         self.Nobs = int(constants["nObs"])
         self.Tobs = float(constants["obs_time"])
+        # spin banks: precomputed logs / squared offsets so each posterior
+        # eval is pure elementwise numpy (no scipy.stats dispatch)
+        for tag, d in (("pe", pedict), ("inj", injdict)):
+            for comp in ("1", "2"):
+                a = np.asarray(d[f"a_{comp}"], dtype=np.float64)
+                ct = np.asarray(d[f"cos_tilt_{comp}"], dtype=np.float64)
+                setattr(self, f"{tag}_log_a{comp}", np.log(np.maximum(a, 1e-300)))
+                setattr(self, f"{tag}_log_1ma{comp}", np.log(np.maximum(1.0 - a, 1e-300)))
+                setattr(self, f"{tag}_dct2_{comp}", (ct - 1.0) ** 2)
+                setattr(
+                    self,
+                    f"{tag}_ct_insupp_{comp}",
+                    np.where((ct >= -1.0) & (ct <= 1.0), 0.0, -np.inf),
+                )
         # redshift model normalization grid: same convention as
         # PowerlawRedshiftModel (data-derived bounds, 1000-point trapezoid)
         self.zmin = max(self.pe_z.min(), self.inj_z.min())
@@ -133,22 +191,51 @@ class IndependentPosterior:
         return log_pq + both
 
     def log_prior(self, theta):
-        alpha, beta, mu, sig, lam, lamb = theta
+        (alpha, beta, mu, sig, lam,
+         mu_a1, var_a1, mu_a2, var_a2,
+         xi_ct1, xi_ct2, sig_ct1, sig_ct2, lamb) = theta
         if not (self.MMIN < mu < self.MMAX and sig > 0 and 0 < lam < 1):
             return -np.inf
+        # uniform prior boxes of the bench model (reference PR1 example)
+        for mu_a, var_a in ((mu_a1, var_a1), (mu_a2, var_a2)):
+            if not (0 < mu_a < 1 and 0.005 < var_a < 0.25):
+                return -np.inf
+            # the (mu, var) -> (alpha, beta) moment map must land in a valid
+            # beta distribution: same wall the bench model's NaN->-inf hits
+            if var_a >= mu_a * (1.0 - mu_a):
+                return -np.inf
+        for xi, sct in ((xi_ct1, sig_ct1), (xi_ct2, sig_ct2)):
+            if not (0 < xi < 1 and 0.1 < sct < 4.0):
+                return -np.inf
         lp = -0.5 * (alpha / 5.0) ** 2 - 0.5 * (beta / 5.0) ** 2 - 0.5 * (lamb / 5.0) ** 2
         lp += -0.5 * (sig / 10.0) ** 2  # HalfNormal(10)
         return lp
 
+    def _log_spin(self, tag, theta):
+        """Spin-magnitude + tilt log population density over one bank."""
+        (_, _, _, _, _,
+         mu_a1, var_a1, mu_a2, var_a2,
+         xi_ct1, xi_ct2, sig_ct1, sig_ct2, _) = theta
+        a_1, b_1 = beta_ab_from_mu_var(mu_a1, var_a1)
+        a_2, b_2 = beta_ab_from_mu_var(mu_a2, var_a2)
+        out = log_beta_pdf(getattr(self, f"{tag}_log_a1"), getattr(self, f"{tag}_log_1ma1"), a_1, b_1)
+        out += log_beta_pdf(getattr(self, f"{tag}_log_a2"), getattr(self, f"{tag}_log_1ma2"), a_2, b_2)
+        out += log_tilt_mixture(getattr(self, f"{tag}_dct2_1"), getattr(self, f"{tag}_ct_insupp_1"), xi_ct1, sig_ct1)
+        out += log_tilt_mixture(getattr(self, f"{tag}_dct2_2"), getattr(self, f"{tag}_ct_insupp_2"), xi_ct2, sig_ct2)
+        return out
+
     def log_likelihood(self, theta):
-        alpha, beta, mu, sig, lam, lamb = theta
+        alpha, beta, mu, sig, lam = theta[:5]
+        lamb = theta[13]
         logw_pe = (
             self._log_p_m1q(self.pe_m1, self.pe_q, alpha, beta, mu, sig, lam)
+            + self._log_spin("pe", theta)
             + self._log_pz(self.pe_z, self.pe_dvdz, lamb)
             - self.pe_logprior
         )
         logw_inj = (
             self._log_p_m1q(self.inj_m1, self.inj_q, alpha, beta, mu, sig, lam)
+            + self._log_spin("inj", theta)
             + self._log_pz(self.inj_z, self.inj_dvdz, lamb)
             - self.inj_logprior
         )

@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np  # noqa: E402
 
-PARAMS = ["alpha", "beta", "mu_peak", "sig_peak", "lambda_m", "lamb"]
+from tools.parity.independent_numpy_model import PARAM_ORDER as PARAMS  # noqa: E402
 
 
 def ess_1d(x):
@@ -61,13 +61,23 @@ def main():
 
     rng = np.random.default_rng(11)
     n_walkers = 48
+    # jittered inits around the bench fiducial point (bench.FIDUCIAL_INIT),
+    # clipped into the prior boxes
     x0 = np.column_stack(
         [
             -2.35 + 0.3 * rng.standard_normal(n_walkers),
             1.0 + 0.3 * rng.standard_normal(n_walkers),
             35.0 + 2.0 * rng.standard_normal(n_walkers),
             5.0 + 1.0 * np.abs(rng.standard_normal(n_walkers)),
-            np.clip(0.05 + 0.02 * rng.standard_normal(n_walkers), 1e-3, 0.5),
+            np.clip(0.25 + 0.05 * rng.standard_normal(n_walkers), 1e-3, 0.9),
+            np.clip(0.35 + 0.05 * rng.standard_normal(n_walkers), 0.05, 0.95),  # mu_a1
+            np.clip(0.03 + 0.01 * rng.standard_normal(n_walkers), 0.006, 0.2),  # var_a1
+            np.clip(0.35 + 0.05 * rng.standard_normal(n_walkers), 0.05, 0.95),  # mu_a2
+            np.clip(0.03 + 0.01 * rng.standard_normal(n_walkers), 0.006, 0.2),  # var_a2
+            np.clip(0.7 + 0.1 * rng.standard_normal(n_walkers), 0.05, 0.95),  # lambda_ct1
+            np.clip(0.7 + 0.1 * rng.standard_normal(n_walkers), 0.05, 0.95),  # lambda_ct2
+            np.clip(0.5 + 0.15 * rng.standard_normal(n_walkers), 0.15, 3.5),  # sig_ct1
+            np.clip(0.5 + 0.15 * rng.standard_normal(n_walkers), 0.15, 3.5),  # sig_ct2
             1.7 + 0.5 * rng.standard_normal(n_walkers),
         ]
     )
@@ -86,7 +96,7 @@ def main():
 
     out = {
         "sampler": "Goodman-Weare affine-invariant ensemble (pure numpy, independent implementation)",
-        "model": "spinless powerlaw+peak mass x powerlaw redshift, min_neff_cut, 69-ev catalog (bench.py config)",
+        "model": "14-hyperparameter PR1 powerlaw+peak w/ independent spins x powerlaw redshift, min_neff_cut, 69-ev catalog (bench.py config)",
         "n_walkers": n_walkers,
         "n_steps": n_steps,
         "burn_in": burn,
