@@ -287,6 +287,18 @@ def main():
     if os.path.exists(parity_path):
         with open(parity_path) as f:
             pb = json.load(f)
+        import hashlib
+
+        with open(data_file, "rb") as f:
+            data_md5 = hashlib.md5(f.read()).hexdigest()[:12]
+        if pb.get("data_md5") != data_md5:
+            print(
+                f"WARNING: parity baseline is for a different catalog "
+                f"({pb.get('data_md5')} != {data_md5}); skipping parity check "
+                "-- regenerate with tools/parity/make_parity_baseline.py",
+                file=sys.stderr,
+            )
+            pb = {}
         for k, m in pb.get("moments", {}).items():
             if k not in flat:
                 continue
@@ -295,7 +307,8 @@ def main():
             parity_z[k] = round(abs(mean - m["mean"]) / max(se, 1e-12), 2)
         # 5 sigma of combined MC error: both estimates are noisy and the
         # samplers/precisions differ (f32 TPU NUTS vs f64 numpy ensemble)
-        parity_ok = bool(parity_z) and all(z < 5.0 for z in parity_z.values())
+        if parity_z:
+            parity_ok = all(z < 5.0 for z in parity_z.values())
 
     timer.report(print_fn=lambda s: print(s, file=sys.stderr))
     extra = mcmc.get_extra_fields()

@@ -1,7 +1,19 @@
 """Powerlaw+peak population analysis -- the reference's PR1 config
-(examples/simple_powerlaw_peak_example.py) on this framework, with the stale
-``surv_hypervolume_fct`` kwargs fixed to the library's
-``surveyed_hypervolume=`` signature (SURVEY.md S2.8).
+(examples/simple_powerlaw_peak_example.py) on this framework, with three
+'intended semantics' fixes (SURVEY.md S7.3):
+
+- the stale ``surv_hypervolume_fct`` kwargs are fixed to the library's
+  ``surveyed_hypervolume=`` signature (SURVEY.md S2.8);
+- hyper-weights are computed in LOG space end to end: the reference's linear
+  products (its :80-82) square the weights inside n_eff and overflow f32, so
+  the example as written cannot run on the TPU hardware this framework
+  targets (its own tests only ever run f64 CPU);
+- the (mu, var) -> (alpha, beta) spin-magnitude map is the standard moment
+  map the reference itself ships as
+  gwinferno/preprocess/conversions.py:88 (``alpha_beta_from_mu_var``).  The
+  reference example's inline ``alpha_a1 = mu_a1 * var_a1`` (its :64) caps
+  alpha at 0.25 over its whole prior box, i.e. admits ONLY double-divergent
+  U-shaped betas -- a typo for the moment map.
 
 Run:  python examples/simple_powerlaw_peak_example.py --pe-inj-file tests/data/pe_inj_file.h5 --warmup 500 --samples 1500
 """
@@ -14,10 +26,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax.numpy as jnp  # noqa: E402
 
 from gwinferno_tpu import ppl  # noqa: E402
-from gwinferno_tpu.models.parametric.parametric import independent_spin_magnitude_beta_dist  # noqa: E402
-from gwinferno_tpu.models.parametric.parametric import independent_spin_tilt  # noqa: E402
-from gwinferno_tpu.models.parametric.parametric import plpeak_primary_ratio_pdf  # noqa: E402
+from gwinferno_tpu.models.parametric.parametric import log_independent_spin_magnitude_beta_dist  # noqa: E402
+from gwinferno_tpu.models.parametric.parametric import log_independent_spin_tilt  # noqa: E402
+from gwinferno_tpu.models.parametric.parametric import log_plpeak_primary_ratio_pdf  # noqa: E402
 from gwinferno_tpu.pipeline.analysis import hierarchical_likelihood  # noqa: E402
+from gwinferno_tpu.preprocess.conversions import alpha_beta_from_mu_var  # noqa: E402
 from gwinferno_tpu.pipeline.utils import load_base_parser  # noqa: E402
 from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict  # noqa: E402
 from gwinferno_tpu.pipeline.utils import pdf_dict_to_xarray  # noqa: E402
@@ -50,10 +63,14 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, z_model, mmin, mmax, param_names):
     var_a1 = ppl.sample("var_a1", dist.Uniform(0.005, 0.25))
     mu_a2 = ppl.sample("mu_a2", dist.Uniform(0, 1))
     var_a2 = ppl.sample("var_a2", dist.Uniform(0.005, 0.25))
-    alpha_a1 = ppl.deterministic("alpha_a1", mu_a1 * var_a1)
-    alpha_a2 = ppl.deterministic("alpha_a2", mu_a2 * var_a2)
-    beta_a1 = ppl.deterministic("beta_a1", (1 - mu_a1) * var_a1)
-    beta_a2 = ppl.deterministic("beta_a2", (1 - mu_a2) * var_a2)
+    # moment map (see module docstring); invalid (mu, var) combinations give
+    # non-positive shapes -> NaN logpdf -> the -inf likelihood wall
+    a1_shapes = alpha_beta_from_mu_var(mu_a1, var_a1)
+    a2_shapes = alpha_beta_from_mu_var(mu_a2, var_a2)
+    alpha_a1 = ppl.deterministic("alpha_a1", a1_shapes[0])
+    alpha_a2 = ppl.deterministic("alpha_a2", a2_shapes[0])
+    beta_a1 = ppl.deterministic("beta_a1", a1_shapes[1])
+    beta_a2 = ppl.deterministic("beta_a2", a2_shapes[1])
 
     # Spin tilt (independent)
     lambda_ct1 = ppl.sample("lambda_ct1", dist.Uniform(0, 1))
@@ -64,26 +81,28 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, z_model, mmin, mmax, param_names):
     # Redshift
     lamb = ppl.sample("lamb", dist.Normal(0, 5))
 
-    def get_weights(datadict):
-        p_m1q = plpeak_primary_ratio_pdf(
-            datadict["mass_1"], datadict["mass_ratio"], alpha, beta, mmin, mmax, mu_peak, sig_peak, lambda_m
+    def get_log_weights(datadict):
+        logw = (
+            log_plpeak_primary_ratio_pdf(
+                datadict["mass_1"], datadict["mass_ratio"], alpha, beta, mmin, mmax, mu_peak, sig_peak, lambda_m
+            )
+            + log_independent_spin_magnitude_beta_dist(
+                datadict["a_1"], datadict["a_2"], alpha_a1, beta_a1, alpha_a2, beta_a2
+            )
+            + log_independent_spin_tilt(
+                datadict["cos_tilt_1"], datadict["cos_tilt_2"], lambda_ct1, lambda_ct2, sig_ct1, sig_ct2
+            )
+            + z_model.log_prob(datadict["redshift"], lamb)
+            - jnp.log(jnp.asarray(datadict["prior"]))
         )
-        p_a = independent_spin_magnitude_beta_dist(
-            datadict["a_1"], datadict["a_2"], alpha_a1, beta_a1, alpha_a2, beta_a2
-        )
-        p_ct = independent_spin_tilt(
-            datadict["cos_tilt_1"], datadict["cos_tilt_2"], lambda_ct1, lambda_ct2, sig_ct1, sig_ct2
-        )
-        p_z = z_model(datadict["redshift"], lamb)
-        wts = p_m1q * p_a * p_ct * p_z / datadict["prior"]
-        return jnp.where(jnp.isnan(wts) | jnp.isinf(wts), 0.0, wts)
+        return jnp.where(jnp.isnan(logw), -jnp.inf, logw)
 
-    pe_weights = get_weights(pedict)
-    inj_weights = get_weights(injdict)
+    pe_log_weights = get_log_weights(pedict)
+    inj_log_weights = get_log_weights(injdict)
 
     hierarchical_likelihood(
-        pe_weights,
-        inj_weights,
+        pe_log_weights,
+        inj_log_weights,
         float(Ninj),
         Nobs,
         Tobs,
@@ -95,6 +114,7 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, z_model, mmin, mmax, param_names):
         m2min=mmin,
         m1min=mmin,
         mmax=mmax,
+        log=True,
     )
 
 
@@ -123,10 +143,8 @@ def main():
     )
 
     print("calculating spin ppds:")
-    alpha_a1 = np.asarray(posterior["mu_a1"]) * np.asarray(posterior["var_a1"])
-    beta_a1 = (1 - np.asarray(posterior["mu_a1"])) * np.asarray(posterior["var_a1"])
-    alpha_a2 = np.asarray(posterior["mu_a2"]) * np.asarray(posterior["var_a2"])
-    beta_a2 = (1 - np.asarray(posterior["mu_a2"])) * np.asarray(posterior["var_a2"])
+    alpha_a1, beta_a1 = alpha_beta_from_mu_var(np.asarray(posterior["mu_a1"]), np.asarray(posterior["var_a1"]))
+    alpha_a2, beta_a2 = alpha_beta_from_mu_var(np.asarray(posterior["mu_a2"]), np.asarray(posterior["var_a2"]))
     mag1, _ = calculate_beta_spin_mag(alpha_a1, beta_a1)
     mag2, mags = calculate_beta_spin_mag(alpha_a2, beta_a2)
     tilt1, _ = calculate_mixture_iso_aligned_spin_tilt(np.asarray(posterior["sig_ct1"]), np.asarray(posterior["lambda_ct1"]))

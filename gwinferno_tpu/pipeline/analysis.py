@@ -253,8 +253,12 @@ def _posterior_predictive_sites(
     analysis.py:340) are preserved: draws are deterministic given weights.
     """
     if log:
-        pe_weights = jnp.exp(pe_weights)
-        inj_weights = jnp.exp(inj_weights)
+        # shift by the per-bank max before exponentiating: the categorical
+        # draws only need weights up to a constant scale, and raw exp(logw)
+        # overflows f32 on TPU for the same reason the likelihood runs in
+        # log space
+        pe_weights = jnp.exp(pe_weights - jnp.max(pe_weights, axis=1, keepdims=True))
+        inj_weights = jnp.exp(inj_weights - jnp.max(inj_weights))
     pe_weights = jnp.where(
         jnp.less(pedata["mass_1"], m1min)
         | jnp.greater(pedata["mass_1"], mmax)

@@ -43,6 +43,16 @@ def test_posterior_moments_match_independent_implementation(pe_inj_synthetic_fil
     with open(BASELINE) as f:
         base = json.load(f)
 
+    import hashlib
+
+    with open(pe_inj_synthetic_file, "rb") as f:
+        data_md5 = hashlib.md5(f.read()).hexdigest()[:12]
+    if base.get("data_md5") != data_md5:
+        pytest.skip(
+            f"parity baseline is for a different catalog ({base.get('data_md5')} != "
+            f"{data_md5}); regenerate with tools/parity/make_parity_baseline.py"
+        )
+
     pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_synthetic_file)
     z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
     model = bench.make_model(pedict, injdict, constants, z_model)

@@ -12,6 +12,7 @@ Run from the repo root:  python tools/parity/make_parity_baseline.py
 not part of the test suite.)
 """
 
+import hashlib
 import json
 import os
 import sys
@@ -60,7 +61,7 @@ def main():
     post = IndependentPosterior(pedict, injdict, constants)
 
     rng = np.random.default_rng(11)
-    n_walkers = 48
+    n_walkers = int(os.environ.get("PARITY_WALKERS", 48))
     # jittered inits around the bench fiducial point (bench.FIDUCIAL_INIT),
     # clipped into the prior boxes
     x0 = np.column_stack(
@@ -94,9 +95,13 @@ def main():
     burn = n_steps // 3
     kept = chain[burn:]  # (steps, walkers, dim)
 
+    with open(bench.ensure_data(), "rb") as f:
+        data_md5 = hashlib.md5(f.read()).hexdigest()[:12]
+
     out = {
         "sampler": "Goodman-Weare affine-invariant ensemble (pure numpy, independent implementation)",
         "model": "14-hyperparameter PR1 powerlaw+peak w/ independent spins x powerlaw redshift, min_neff_cut, 69-ev catalog (bench.py config)",
+        "data_md5": data_md5,
         "n_walkers": n_walkers,
         "n_steps": n_steps,
         "burn_in": burn,
