@@ -1,6 +1,9 @@
 """B-spline population analysis -- the reference's nonparametric config
 (examples/simple_bspline_example.py) on this framework, with the stale
-``surv_hypervolume_fct`` kwargs fixed (SURVEY.md S2.8).
+``surv_hypervolume_fct`` kwargs fixed (SURVEY.md S2.8) and weights in log
+space (the reference's linear products overflow f32 on TPU; see the module
+docstring of simple_powerlaw_peak_example.py).  ``--fused`` routes the
+entire weight product + per-event reduction through one Pallas MXU pass.
 
 Run:  python examples/simple_bspline_example.py --pe-inj-file tests/data/pe_inj_file.h5 \
           --m-nsplines 50 --q-nsplines 30 --a-nsplines 16 --tilt-nsplines 16 --z-nsplines 20
@@ -15,6 +18,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from gwinferno_tpu import ppl  # noqa: E402
+from gwinferno_tpu.distributions import safe_log  # noqa: E402
 from gwinferno_tpu.pipeline.analysis import hierarchical_likelihood  # noqa: E402
 from gwinferno_tpu.pipeline.utils import bspline_mass_prior  # noqa: E402
 from gwinferno_tpu.pipeline.utils import bspline_redshift_prior  # noqa: E402
@@ -67,20 +71,27 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model,
         )
         return
 
-    def get_weights(datadict, pe_samples=True):
-        p_m1q = mass_models(mass_cs, q_cs, pe_samples=pe_samples)
-        p_a = mag_model(a_cs, pe_samples=pe_samples)
-        p_ct = tilt_model(tilt_cs, pe_samples=pe_samples)
-        p_z = z_model(datadict["redshift"], lamb, z_cs)
-        wts = p_m1q * p_a * p_ct * p_z / datadict["prior"]
-        return jnp.where(jnp.isnan(wts) | jnp.isinf(wts), 0.0, wts)
+    def get_log_weights(datadict, pe_samples=True):
+        # log space per factor: the reference's linear product (its :78)
+        # squares the weights inside n_eff and overflows f32 on TPU; logging
+        # each factor separately keeps every term in f32 range (the fused
+        # path above stays exactly affine in the coefficients and is the
+        # precision-gold TPU path)
+        logw = (
+            safe_log(mass_models(mass_cs, q_cs, pe_samples=pe_samples))
+            + safe_log(mag_model(a_cs, pe_samples=pe_samples))
+            + safe_log(tilt_model(tilt_cs, pe_samples=pe_samples))
+            + safe_log(z_model(datadict["redshift"], lamb, z_cs))
+            - jnp.log(jnp.asarray(datadict["prior"]))
+        )
+        return jnp.where(jnp.isnan(logw), -jnp.inf, logw)
 
-    pe_weights = get_weights(pedict, pe_samples=True)
-    inj_weights = get_weights(injdict, pe_samples=False)
+    pe_log_weights = get_log_weights(pedict, pe_samples=True)
+    inj_log_weights = get_log_weights(injdict, pe_samples=False)
 
     hierarchical_likelihood(
-        pe_weights,
-        inj_weights,
+        pe_log_weights,
+        inj_log_weights,
         float(Ninj),
         Nobs,
         Tobs,
@@ -91,6 +102,7 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model,
         m2min=mmin,
         m1min=mmin,
         mmax=mmax,
+        log=True,
     )
 
 

@@ -54,6 +54,7 @@ def run_powerlawpeak_analysis(model, pedict, injdict, constants, param_names, ar
         num_chains=args.chains,
         thinning=args.thinning,
         progress_bar=True,
+        max_steps_per_call=getattr(args, "max_steps_per_call", None),
     )
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()
@@ -109,6 +110,7 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
         num_chains=args.chains,
         thinning=args.thinning,
         progress_bar=True,
+        max_steps_per_call=getattr(args, "max_steps_per_call", None),
     )
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()

@@ -20,7 +20,10 @@ from jax.nn import sigmoid
 from jax.scipy.special import betaln
 from jax.scipy.special import erf
 
+from .utils.host import xp_for
+
 __all__ = [
+    "safe_log",
     "safe_logaddexp",
     "smooth",
     "logistic_function",
@@ -34,6 +37,21 @@ __all__ = [
     "betadist",
     "log_betadist",
 ]
+
+
+def safe_log(p):
+    """``log(p)`` with ``-inf`` at ``p <= 0`` and a ZERO (not NaN) gradient
+    there.
+
+    Plain ``jnp.log`` at 0 returns ``-inf`` with derivative ``1/0 = inf``;
+    multiplied by the (zero) derivative of an out-of-support density that
+    produces ``inf * 0 = NaN`` and poisons the whole gradient.  Standard
+    double-``where`` rematerialization; use whenever taking logs of linear
+    densities that can be exactly zero (B-spline projections outside their
+    knot range, truncated pdfs).
+    """
+    pos = p > 0
+    return jnp.where(pos, jnp.log(jnp.where(pos, p, 1.0)), -jnp.inf)
 
 
 def safe_logaddexp(a, b):
@@ -136,8 +154,9 @@ def _powerlaw_log_norm(alpha, low, high):
     is_m1 = jnp.equal(alpha, -1.0)
     safe_alpha = jnp.where(is_m1, 0.0, alpha)
     ap1 = 1.0 + safe_alpha
-    log_low = jnp.log(low)
-    log_high = jnp.log(high)
+    xp = xp_for(low, high)  # host-side for data-derived bounds (utils.host)
+    log_low = xp.log(low)
+    log_high = xp.log(high)
     a = ap1 * log_high
     b = ap1 * log_low
     diff = jnp.abs(a - b)
@@ -156,10 +175,17 @@ def log_powerlaw_pdf(xx, alpha, low, high, floor=-jnp.inf):
     ``alpha == -1`` uses the logarithmic normalization.  Out-of-bounds values
     get ``floor`` (default ``-inf``).  The in-bounds log is evaluated at a
     clipped abscissa so gradients stay finite outside the support.
+
+    Data-only subexpressions (bounds checks, ``log x``) dispatch through
+    ``xp_for``: with host-numpy sample banks they are computed ONCE on the
+    host at trace time and embed as ready constants, instead of running as
+    eager device ops per trace and re-running inside every compiled gradient
+    (utils.host; the round-2 cold-compile post-mortem).
     """
-    oob = jnp.less(xx, low) | jnp.greater(xx, high)
-    safe_x = jnp.clip(xx, low, high)
-    logp = alpha * jnp.log(safe_x) + _powerlaw_log_norm(alpha, low, high)
+    xp = xp_for(xx, low, high)
+    oob = xp.less(xx, low) | xp.greater(xx, high)
+    log_safe_x = xp.log(xp.clip(xx, low, high))
+    logp = alpha * log_safe_x + _powerlaw_log_norm(alpha, low, high)
     return jnp.where(oob, floor, logp)
 
 
@@ -169,9 +195,10 @@ def powerlaw_pdf(xx, alpha, low, high, floor=0.0):
     Parity: gwinferno/distributions.py:100-119 (incl. the ``alpha == -1``
     special case at :112-116).
     """
-    oob = jnp.less(xx, low) | jnp.greater(xx, high)
-    safe_x = jnp.where(oob, jnp.asarray(low, dtype=jnp.result_type(xx, float)), xx)
-    prob = jnp.exp(alpha * jnp.log(safe_x) + _powerlaw_log_norm(alpha, low, high))
+    xp = xp_for(xx, low, high)
+    oob = xp.less(xx, low) | xp.greater(xx, high)
+    log_safe_x = xp.log(xp.where(oob, low, xx))
+    prob = jnp.exp(alpha * log_safe_x + _powerlaw_log_norm(alpha, low, high))
     return jnp.where(oob, floor, prob)
 
 
@@ -185,14 +212,14 @@ def log_truncnorm_pdf(xx, mu, sig, low, high, log=False):
     ``log=True`` evaluates a truncated *lognormal* (the Gaussian lives in
     ``log x``; the extra ``1/x`` Jacobian is included).  ``-inf`` outside.
     """
+    xp = xp_for(xx, low, high)  # data-only terms host-side (utils.host)
     if log:
-        safe_x = jnp.clip(xx, low, high)
-        u = jnp.log(safe_x)
-        lo, hi = jnp.log(low), jnp.log(high)
+        u = xp.log(xp.clip(xx, low, high))
+        xpb = xp_for(low, high)
+        lo, hi = xpb.log(low), xpb.log(high)
         jac = -u  # d(log x)/dx = 1/x
     else:
-        safe_x = jnp.clip(xx, low, high)
-        u = safe_x
+        u = xp.clip(xx, low, high)
         lo, hi = low, high
         jac = 0.0
     denom = _norm_cdf((hi - mu) / sig) - _norm_cdf((lo - mu) / sig)
@@ -203,7 +230,7 @@ def log_truncnorm_pdf(xx, mu, sig, low, high, log=False):
         - jnp.log(denom)
         + jac
     )
-    oob = jnp.greater(xx, high) | jnp.less(xx, low)
+    oob = xp.greater(xx, high) | xp.less(xx, low)
     return jnp.where(oob, -jnp.inf, logp)
 
 
@@ -212,22 +239,26 @@ def truncnorm_pdf(xx, mu, sig, low, high, log=False):
 
     Parity: gwinferno/distributions.py:122-143.
     """
+    xp = xp_for(xx, low, high)
     if log:
-        safe_x = jnp.where(jnp.less_equal(xx, 0.0), low, xx)
+        safe_x = xp.where(xp.less_equal(xx, 0.0), low, xx)
     else:
         safe_x = xx
-    oob = jnp.greater(xx, high) | jnp.less(xx, low)
+    oob = xp.greater(xx, high) | xp.less(xx, low)
     return jnp.where(oob, 0.0, jnp.exp(log_truncnorm_pdf(safe_x, mu, sig, low, high, log=log)))
 
 
 def log_betadist(xx, alpha, beta, scale=1.0, floor=-jnp.inf):
     """Log-pdf of a Beta distribution stretched onto ``[0, scale]``."""
-    inb = jnp.less_equal(xx, scale) & jnp.greater_equal(xx, 0.0)
-    safe_x = jnp.clip(xx, 0.0, scale)
+    xp = xp_for(xx, scale)  # data-only terms host-side (utils.host)
+    inb = xp.less_equal(xx, scale) & xp.greater_equal(xx, 0.0)
+    safe_x = xp.clip(xx, 0.0, scale)
+    # the clipped-log endpoints are +-inf at exactly 0/scale; in-bounds
+    # samples never sit exactly on them, and oob lanes are floored below
     ln = (
-        (alpha - 1.0) * jnp.log(safe_x)
-        + (beta - 1.0) * jnp.log(scale - safe_x)
-        - (alpha + beta - 1.0) * jnp.log(scale)
+        (alpha - 1.0) * xp.log(safe_x)
+        + (beta - 1.0) * xp.log(scale - safe_x)
+        - (alpha + beta - 1.0) * xp.log(scale)
         - betaln(alpha, beta)
     )
     return jnp.where(inb, ln, floor)
@@ -238,5 +269,6 @@ def betadist(xx, alpha, beta, scale=1.0, floor=0.0):
 
     Parity: gwinferno/distributions.py:146-162.
     """
-    inb = jnp.less_equal(xx, scale) & jnp.greater_equal(xx, 0.0)
+    xp = xp_for(xx, scale)
+    inb = xp.less_equal(xx, scale) & xp.greater_equal(xx, 0.0)
     return jnp.where(inb, jnp.exp(log_betadist(xx, alpha, beta, scale=scale)), floor)

@@ -94,6 +94,7 @@ class MCMC:
         mesh=None,
         chain_axis="chain",
         max_steps_per_call=None,
+        chain_groups=1,
     ):
         if chain_method not in _CHAIN_METHODS:
             raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
@@ -105,6 +106,11 @@ class MCMC:
             )
         if chain_method == "sequential" and collective_adaptation:
             raise ValueError("collective_adaptation requires a batched chain axis (vectorized/parallel)")
+        self.chain_groups = int(chain_groups)
+        if self.chain_groups > 1 and int(num_chains) % self.chain_groups != 0:
+            raise ValueError(
+                f"chain_groups={chain_groups} must divide num_chains={num_chains}"
+            )
         self.kernel = kernel
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
@@ -121,6 +127,8 @@ class MCMC:
         self._last_state = None
         self._cache_key = None
         self._compiled = None
+        self._pf_from = None
+        self._pf_consts = None
 
     # ------------------------------------------------------------------ setup
 
@@ -180,7 +188,14 @@ class MCMC:
             jax.random.uniform(key, (rounds, nc, dim), minval=-1.0, maxval=1.0, dtype=dtype)
             * radii[:, None, None]
         )
-        pe, grad = jax.jit(jax.vmap(jax.vmap(jax.value_and_grad(potential_fn))))(cand)
+        # hoisted-consts path: pass the data banks as runtime args (closing
+        # over them costs seconds-per-bank at lowering/compile on the tunnel)
+        if getattr(self, "_pf_from", None) is not None:
+            pe, grad = jax.jit(
+                lambda c, consts: jax.vmap(jax.vmap(jax.value_and_grad(self._pf_from(consts))))(c)
+            )(cand, self._pf_consts)
+        else:
+            pe, grad = jax.jit(jax.vmap(jax.vmap(jax.value_and_grad(potential_fn))))(cand)
         finite = jnp.isfinite(pe) & jnp.all(jnp.isfinite(grad), axis=-1)  # (rounds, nc)
         # |pe| >= 1e30 catches the nan_to_num(-inf) likelihood walls (hard
         # n_eff cuts): technically finite, but a zero-gradient plateau no
@@ -203,11 +218,13 @@ class MCMC:
 
     # ------------------------------------------------------------------ program
 
-    def _build_programs(self, potential_fn, dim, dtype, nc, find_ss0):
-        """Build (init_fn, scan_fn), each jitted once; reused across run() calls."""
+    def _build_programs(self, pf_from, dim, dtype, nc, find_ss0):
+        """Build (init_fn, scan_fn), each jitted once; reused across run() calls.
+
+        ``pf_from(consts) -> potential_fn``: both programs take the hoisted
+        model constants as their LAST argument (see _get_compiled) and
+        rebuild the potential/transition closures inside the trace."""
         kernel = self.kernel
-        transition = kernel.make_transition(potential_fn)
-        kernel_init = kernel.make_init(potential_fn)
         dense = getattr(kernel, "dense_mass", False)
         target = getattr(kernel, "target_accept_prob", 0.8)
         adapt_ss = getattr(kernel, "adapt_step_size", True)
@@ -217,7 +234,9 @@ class MCMC:
         def wf_fresh():
             return jax.vmap(lambda _: welford_init(dim, dense, dtype))(jnp.arange(nc))
 
-        def init_fn(z0, rng_key, mm_inverse0, ss_in):
+        def init_fn(z0, rng_key, mm_inverse0, ss_in, consts):
+            potential_fn = pf_from(consts)
+            kernel_init = kernel.make_init(potential_fn)
             state0 = jax.vmap(kernel_init)(z0)
             mm0 = jax.vmap(mass_matrix_from_inverse)(mm_inverse0)
             if find_ss0:
@@ -247,13 +266,33 @@ class MCMC:
             da_new = jax.vmap(da_init)(jnp.exp(da.log_step))
             return wf_fresh(), mm_new, da_new
 
-        def step(carry, xs):
+        groups = self.chain_groups
+
+        def batched_transition(transition, state, mm, step_size, keys):
+            """vmapped transition over chains, optionally split into
+            ``chain_groups`` sequential sub-batches.
+
+            A vmapped NUTS transition synchronizes every chain on the batch's
+            DEEPEST tree each step (finished lanes idle, masked).  At 64
+            chains that tail made ESS/s 7x worse than 16 (round-2 PERF.md).
+            ``lax.map`` over groups runs each sub-batch to its OWN deepest
+            tree: expected per-step work drops from E[max over nc] to
+            sum_g E[max over nc/G] at identical statistics (grouping only
+            reorders the lane->program assignment)."""
+            if groups <= 1:
+                return jax.vmap(transition)(state, mm, step_size, keys)
+            gshape = lambda x: x.reshape((groups, nc // groups) + x.shape[1:])  # noqa: E731
+            args_g = jax.tree.map(gshape, (state, mm, step_size, keys))
+            out = jax.lax.map(lambda a: jax.vmap(transition)(*a), args_g)
+            return jax.tree.map(lambda x: x.reshape((nc,) + x.shape[2:]), out)
+
+        def step(transition, carry, xs):
             state, da, wf, mm, ss_final, key = carry
             is_warmup, in_slow, window_end, finalize = xs
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nc)
             step_size = jnp.where(is_warmup, jnp.exp(da.log_step), ss_final)
-            state = jax.vmap(transition)(state, mm, step_size, keys)
+            state = batched_transition(transition, state, mm, step_size, keys)
 
             if adapt_ss:
                 accept = state.accept_prob
@@ -281,8 +320,9 @@ class MCMC:
             }
             return (state, da, wf, mm, ss_final, key), out
 
-        def scan_fn(carry, xs):
-            return jax.lax.scan(step, carry, xs)
+        def scan_fn(carry, xs, consts):
+            transition = kernel.make_transition(pf_from(consts))
+            return jax.lax.scan(lambda c, x: step(transition, c, x), carry, xs)
 
         return jax.jit(init_fn), jax.jit(scan_fn)
 
@@ -296,13 +336,34 @@ class MCMC:
         nc = 1 if self.chain_method == "sequential" else self.num_chains
         find_ss0 = getattr(self.kernel, "adapt_step_size", True) and not resume
         key = (id(self.kernel.model), treedef, leaf_ids, shapes, nc, find_ss0,
-               getattr(self.kernel, "dense_mass", False), self.collective_adaptation)
+               getattr(self.kernel, "dense_mass", False), self.collective_adaptation,
+               self.chain_groups)
         if self._cache_key != key:
             self._cache_leaves = leaves  # hold refs so leaf ids stay unique
             potential_fn, unravel, transforms, flat_proto = self._setup(model_args, model_kwargs)
             dim, dtype = flat_proto.shape[0], flat_proto.dtype
-            init_fn, scan_fn = self._build_programs(potential_fn, dim, dtype, nc, find_ss0)
-            self._compiled = (potential_fn, unravel, transforms, flat_proto, init_fn, scan_fn)
+
+            # Hoist the model's closure constants (the multi-MB sample banks)
+            # out of the program and into RUNTIME ARGUMENTS.  Measured on the
+            # remote-TPU tunnel (docs/PERF.md r3): a program closing over
+            # device arrays pays ~10 s per bank at LOWERING (MLIR constant
+            # fetch), over numpy arrays ~2.6 s per bank at COMPILE (literal
+            # processing); the same banks passed as arguments cost ~0 at
+            # compile and one 0.1 s device_put at run.  make_jaxpr traces the
+            # potential once; its consts ARE the closure data.
+            closed = jax.make_jaxpr(potential_fn)(flat_proto)
+            jaxpr = closed.jaxpr
+            consts = tuple(jax.device_put(c) for c in closed.consts)
+
+            def pf_from(consts_):
+                def pf(zflat):
+                    return jax.core.eval_jaxpr(jaxpr, list(consts_), zflat)[0]
+
+                return pf
+
+            self._pf_from, self._pf_consts = pf_from, consts
+            init_fn, scan_fn = self._build_programs(pf_from, dim, dtype, nc, find_ss0)
+            self._compiled = (pf_from(consts), unravel, transforms, flat_proto, init_fn, scan_fn)
             self._cache_key = key
         return self._compiled
 
@@ -377,7 +438,7 @@ class MCMC:
                 z0, mm_inv0, ss_in = (
                     shard_chain_state(self.mesh, x, self.chain_axis) for x in (z0, mm_inv0, ss_in)
                 )
-            state0, da0, wf0, mm0, ss0 = init_fn(z0, key_ss, mm_inv0, ss_in)
+            state0, da0, wf0, mm0, ss0 = init_fn(z0, key_ss, mm_inv0, ss_in, self._pf_consts)
             carry = (state0, da0, wf0, mm0, ss0, key_samp)
             carry, collected = self._run_scan(scan_fn, carry, xs, num_warmup)
 
@@ -419,7 +480,7 @@ class MCMC:
         if self.progress_bar:
             seg = min(seg, max(1, T // 10))
         if seg >= T:
-            return scan_fn(carry, xs)
+            return scan_fn(carry, xs, self._pf_consts)
         outs = []
         t0 = time.time()
         done = 0
@@ -427,7 +488,7 @@ class MCMC:
         while done < T:
             n = min(seg, T - done)
             xs_seg = jax.tree.map(lambda a: a[done : done + n], xs)
-            carry, out = scan_fn(carry, xs_seg)
+            carry, out = scan_fn(carry, xs_seg, self._pf_consts)
             outs.append(out)
             done += n
             if self.progress_bar:
@@ -449,7 +510,7 @@ class MCMC:
         for c in range(self.num_chains):
             sl = slice(c, c + 1)
             state0, da0, wf0, mm0, ss0 = init_fn(
-                z0[sl], jax.random.fold_in(key_ss, c), mm_inv0[sl], ss_in[sl]
+                z0[sl], jax.random.fold_in(key_ss, c), mm_inv0[sl], ss_in[sl], self._pf_consts
             )
             carry = (state0, da0, wf0, mm0, ss0, jax.random.fold_in(key_samp, c))
             carry, out = self._run_scan(scan_fn, carry, xs, 0)

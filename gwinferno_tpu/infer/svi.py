@@ -50,15 +50,23 @@ class AutoDelta:
     """MAP point-mass guide: variational params are the unconstrained site
     values; -ELBO == potential energy (joint density + Jacobian)."""
 
-    def __init__(self, model, init_scale=0.1):
+    def __init__(self, model, init_scale=0.1, init_values=None):
+        """``init_values``: optional dict of CONSTRAINED site values to start
+        from (numpyro's ``init_loc_fn=init_to_value`` parity); sites not
+        listed start at ``init_scale``-jittered zeros in unconstrained space.
+        """
         self.model = model
         self.init_scale = init_scale
+        self.init_values = init_values or {}
 
     def init_params(self, key, model_args, model_kwargs):
         transforms, _, tr = _model_transforms(self.model, model_args, model_kwargs)
         self._transforms = transforms
         params = {}
         for name, t in transforms.items():
+            if name in self.init_values:
+                params[name] = t.inv(jnp.asarray(self.init_values[name], jnp.result_type(float)))
+                continue
             shape = t.unconstrained_shape(jnp.shape(tr[name]["value"]))
             key, sub = jax.random.split(key)
             params[name] = self.init_scale * jax.random.normal(sub, shape)

@@ -109,7 +109,8 @@ def independent_spin_magnitude_beta_dist(a1, a2, alpha_mag1, beta_mag1, alpha_ma
 
 def mixture_isoalign_spin_tilt(ct, xi_tilt, sigma_tilt):
     """Mixture of isotropic (uniform on [-1,1]) + aligned (truncnorm at 1) tilts."""
-    in_support = jnp.where(jnp.greater(ct, 1) | jnp.less(ct, -1), 0.0, 1.0)
+    xp = xp_for(ct)  # support mask is data-only -> host for numpy banks
+    in_support = xp.where(xp.greater(ct, 1) | xp.less(ct, -1), 0.0, 1.0)
     return in_support * (1.0 - xi_tilt) / 2.0 + xi_tilt * truncnorm_pdf(ct, 1.0, sigma_tilt, -1.0, 1.0)
 
 
@@ -127,9 +128,8 @@ def log_independent_spin_magnitude_beta_dist(a1, a2, alpha_mag1, beta_mag1, alph
 
 def log_mixture_isoalign_spin_tilt(ct, xi_tilt, sigma_tilt):
     """Log of the isotropic+aligned tilt mixture, composed via logaddexp."""
-    log_iso = jnp.where(
-        jnp.greater(ct, 1) | jnp.less(ct, -1), -jnp.inf, jnp.log1p(-xi_tilt) - jnp.log(2.0)
-    )
+    oob = xp_for(ct).greater(ct, 1) | xp_for(ct).less(ct, -1)  # data-only
+    log_iso = jnp.where(oob, -jnp.inf, jnp.log1p(-xi_tilt) - jnp.log(2.0))
     log_ali = jnp.log(xi_tilt) + log_truncnorm_pdf(ct, 1.0, sigma_tilt, -1.0, 1.0)
     return safe_logaddexp(log_iso, log_ali)
 
@@ -186,9 +186,10 @@ class PowerlawRedshiftModel:
 
     def log_prob(self, z, lamb):
         dVdz = self.dVdzs[z.ndim - 1]
+        xp = xp_for(z, dVdz)  # data-only terms host-side (utils.host)
         return jnp.where(
-            jnp.less_equal(z, self.zmax),
-            jnp.log(dVdz) + (lamb - 1.0) * jnp.log1p(z) - jnp.log(self.normalization(lamb)),
+            xp.less_equal(z, self.zmax),
+            xp.log(dVdz) + (lamb - 1.0) * xp.log1p(z) - jnp.log(self.normalization(lamb)),
             jnp.nan_to_num(-jnp.inf),
         )
 

@@ -57,6 +57,9 @@ def load_base_parser():
     parser.add_argument("--skip-inference", action="store_true", default=False)
     parser.add_argument("--rngkey", type=int, default=1)
     parser.add_argument("--save-plots", type=bool, default=True)
+    parser.add_argument("--max-steps-per-call", type=int, default=None,
+                        help="segment the MCMC into fixed-size device calls (recommended "
+                        "~25 on remote-TPU tunnels; long single programs have faulted)")
     return parser
 
 

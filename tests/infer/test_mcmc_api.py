@@ -73,3 +73,27 @@ def test_repeat_run_reuses_compiled_program():
     assert m._compiled is compiled_first and m._cache_key == key_first
     # different seeds -> different draws through the same executable
     assert np.asarray(m.get_samples()["x"]).std() > 0
+
+
+def test_chain_groups_equivalent_to_flat_batch():
+    """chain_groups only reorders the lane->program assignment: per-chain RNG
+    streams are untouched, so grouped and flat runs target identical
+    statistics.  (Bitwise equality does NOT hold: XLA reduction order inside
+    the batched potential depends on the batch shape, and trajectories are
+    chaotic in the last ulp -- compare moments, not draws.)"""
+    kwargs = dict(num_warmup=150, num_samples=400, num_chains=8)
+    m1 = MCMC(NUTS(model), **kwargs)
+    m1.run(jax.random.PRNGKey(5))
+    m2 = MCMC(NUTS(model), chain_groups=4, **kwargs)
+    m2.run(jax.random.PRNGKey(5))
+    x1 = np.asarray(m1.get_samples()["x"])
+    x2 = np.asarray(m2.get_samples()["x"])
+    assert abs(x1.mean() - x2.mean()) < 0.15
+    assert abs(x1.std() - x2.std()) < 0.15
+
+
+def test_chain_groups_must_divide_chains():
+    import pytest
+
+    with pytest.raises(ValueError):
+        MCMC(NUTS(model), num_warmup=10, num_samples=10, num_chains=6, chain_groups=4)

@@ -145,3 +145,55 @@ def test_nuts_transition_and_mini_run(bench_setup):
     flat = np.concatenate([np.asarray(v).ravel() for v in s.values()])
     assert np.all(np.isfinite(flat))
     assert np.asarray(s["alpha"]).std() > 0  # chains actually moved
+
+
+def test_smc_multimodal_on_chip():
+    """Adaptive-tempering SMC executes on the TPU: both modes of a
+    double-well posterior populated, finite evidence (VERDICT r2 item 8;
+    mirrors tests/infer/test_nuts.py::test_smc_multimodal_bspline_posterior
+    which only ever ran CPU-f64)."""
+    import time
+
+    from gwinferno_tpu import ppl
+    from gwinferno_tpu.infer import SMC
+    from gwinferno_tpu.ppl import distributions as dist
+
+    def bimodal():
+        x = ppl.sample("x", dist.Normal(0.0, 3.0))
+        ppl.factor("wells", -((x**2 - 4.0) ** 2) / 4.0)
+
+    smc = SMC(bimodal, num_particles=3000, num_mutation_steps=5)
+    t0 = time.time()
+    res = smc.run(jax.random.PRNGKey(2))
+    jax.block_until_ready(res.particles["x"])
+    wall = time.time() - t0
+    x = np.asarray(res.particles["x"])
+    frac_pos = float((x > 0).mean())
+    assert 0.25 < frac_pos < 0.75, f"mode collapse: {frac_pos}"
+    assert abs(abs(x).mean() - 2.0) < 0.3
+    assert np.isfinite(float(res.log_evidence))
+    print(f"\n[tpu] SMC 3000 particles, {int(res.num_stages)} stages: {wall:.1f}s")
+
+
+def test_svi_map_on_chip(bench_setup):
+    """SVI AutoDelta MAP optimization of the FULL 14-hyperparameter bench
+    posterior executes on the TPU and lands near the synthetic truth
+    (VERDICT r2 item 8)."""
+    import time
+
+    from gwinferno_tpu.infer import SVI, Adam, AutoDelta, Trace_ELBO
+
+    bench, model = bench_setup
+    guide = AutoDelta(model, init_values=bench.FIDUCIAL_INIT)
+    svi = SVI(model, guide, Adam(0.02), Trace_ELBO())
+    t0 = time.time()
+    result = svi.run(jax.random.PRNGKey(0), 300)
+    jax.block_until_ready(result.losses)
+    wall = time.time() - t0
+    est = guide.median(result.params)
+    assert float(result.losses[-1]) < float(result.losses[0])
+    # MAP point of a well-identified posterior sits near truth
+    assert abs(float(est["lambda_m"]) - bench.TRUTH["lambda_m"]) < 0.15
+    assert abs(float(est["mu_a1"]) - bench.TRUTH["mu_a1"]) < 0.15
+    assert abs(float(est["lamb"]) - bench.TRUTH["lamb"]) < 1.5
+    print(f"\n[tpu] SVI MAP 300 steps on the 14-param bench posterior: {wall:.1f}s")
