@@ -116,4 +116,5 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
     mcmc.print_summary()
     posterior = {k: v for k, v in mcmc.get_samples().items()}
     posterior.update(mcmc.get_deterministic(site_names={"rate", "surveyed_hypervolume", "detection_efficiency"}))
+    models["_mcmc"] = mcmc  # run metadata (ESS/r_hat/divergences) for perf tooling
     return posterior, models

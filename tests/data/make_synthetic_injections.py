@@ -182,15 +182,22 @@ def _draw_population(rng, n, zgrid, pz_grid, cdf):
 
 
 def generate_event_catalog(rng, zgrid, cdf_pop):
-    """Detected synthetic events + flat-prior PE sample clouds.
+    """Detected synthetic events + known-prior PE sample clouds.
 
-    Measurement model per parameter x: x_obs = x_true + noise (UNclipped, so
-    the flat-prior posterior is exactly a truncated normal located at x_obs),
-    PE samples ~ truncnorm(x_obs, sigma, support).  With the prior row == 1
-    (flat, unnormalized) this is an exactly self-consistent hierarchical
-    dataset.  Masses/redshift use lognormal clouds as before; spins use
-    truncated-normal clouds on their supports -- the PE banks are genuinely
-    informative about every one of the 14 PR1 hyperparameters.
+    Measurement model per parameter x: x_obs = x_true + noise, PE samples ~
+    the posterior of x given x_obs under the cloud's own sampling prior:
+
+    - q, a_1, a_2, cos_tilt_1, cos_tilt_2: truncnorm(x_obs, sigma, support)
+      clouds == the FLAT-prior posterior exactly (the truncnorm
+      normalization depends on x_obs only);
+    - m1, z: lognormal clouds exp(ln x_obs + sigma N) == the posterior under
+      a prior FLAT IN ln x, i.e. pi(x) proportional to 1/x.  The prior row
+      must therefore be 1/(m1 z) -- NOT 1.  (Writing 1 here silently
+      reweights every event cloud by m1 z; with the round-3 spin catalog
+      that biased the recovered lamb to 6.3 +/- 1.8 against a truth of 1.7
+      and alpha to -2.98 vs -2.35, reproduced independently by BOTH samplers
+      in tools/parity/ -- the per-event constant normalization cancels in
+      the log-BFs, the x-dependence does not.)
 
     Returns (n_events, n_params, n_samples) with the real catalog's param
     row order."""
@@ -234,8 +241,10 @@ def generate_event_catalog(rng, zgrid, cdf_pop):
     ct2_s = spin_cloud(ct2, sig_ct, -1.0, 1.0)
 
     params = ["redshift", "mass_1", "a_1", "cos_tilt_1", "mass_2", "a_2", "cos_tilt_2", "mass_ratio", "prior"]
+    # PE sampling prior in the analysis parameterization (m1, q, z, a, ct):
+    # flat in q/spins, flat-in-log (1/x) in m1 and z -- see docstring
     data = np.stack(
-        [z_s, m1_s, a1_s, ct1_s, q_s * m1_s, a2_s, ct2_s, q_s, np.ones((N_EVENTS, S))], axis=1
+        [z_s, m1_s, a1_s, ct1_s, q_s * m1_s, a2_s, ct2_s, q_s, 1.0 / (m1_s * z_s)], axis=1
     )
     print(
         f"synthetic catalog: {N_EVENTS} events, med z {np.median(z):.3f}, med m1 {np.median(m1):.1f}, "

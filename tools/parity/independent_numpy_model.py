@@ -75,10 +75,14 @@ def log_powerlaw_varlow(x, alpha, lo, hi):
 
 
 def log_truncnorm(x, mu, sig, lo, hi):
-    from scipy.stats import truncnorm
+    """Truncated-normal logpdf, direct formula (scipy.special.ndtr for the
+    normalization; scipy.stats.truncnorm dispatch is ~10x slower on the
+    multi-hundred-k-element banks)."""
+    from scipy.special import ndtr
 
-    a, b = (lo - mu) / sig, (hi - mu) / sig
-    return truncnorm.logpdf(x, a, b, loc=mu, scale=sig)
+    zmass = ndtr((hi - mu) / sig) - ndtr((lo - mu) / sig)
+    out = -0.5 * ((x - mu) / sig) ** 2 - np.log(sig) - 0.5 * np.log(2 * np.pi) - np.log(zmass)
+    return np.where((x >= lo) & (x <= hi), out, -np.inf)
 
 
 def log_truncnorm_fast(dx2, mu, sig, lo, hi):
@@ -147,8 +151,18 @@ class IndependentPosterior:
         self.Ninj = float(constants["total_inj"])
         self.Nobs = int(constants["nObs"])
         self.Tobs = float(constants["obs_time"])
-        # spin banks: precomputed logs / squared offsets so each posterior
-        # eval is pure elementwise numpy (no scipy.stats dispatch)
+        # precomputed per-bank logs/masks so each posterior eval is pure
+        # elementwise numpy (no scipy.stats dispatch, no redundant logs)
+        for tag, (m1, q) in (("pe", (self.pe_m1, self.pe_q)), ("inj", (self.inj_m1, self.inj_q))):
+            log_m1 = np.log(m1)
+            setattr(self, f"{tag}_log_m1", log_m1)
+            setattr(self, f"{tag}_log_q", np.log(np.maximum(q, 1e-300)))
+            setattr(self, f"{tag}_log_loq", np.log(self.MMIN) - log_m1)  # log(MMIN/m1)
+            setattr(
+                self,
+                f"{tag}_mask_m1q",
+                (m1 >= self.MMIN) & (m1 <= self.MMAX) & (q >= self.MMIN / m1) & (q <= 1.0),
+            )
         for tag, d in (("pe", pedict), ("inj", injdict)):
             for comp in ("1", "2"):
                 a = np.asarray(d[f"a_{comp}"], dtype=np.float64)
@@ -169,6 +183,8 @@ class IndependentPosterior:
         self.dvdz_grid = dVc_dz(self.zs) * 1e9  # Mpc^3 to match package units
         self.pe_dvdz = dVc_dz(self.pe_z) * 1e9
         self.inj_dvdz = dVc_dz(self.inj_z) * 1e9
+        self.pe_log_dvdz, self.inj_log_dvdz = np.log(self.pe_dvdz), np.log(self.inj_dvdz)
+        self.pe_log1pz, self.inj_log1pz = np.log1p(self.pe_z), np.log1p(self.inj_z)
         self.n_samp = self.pe_m1.shape[1]
 
     def _z_lognorm(self, lamb):
@@ -182,13 +198,46 @@ class IndependentPosterior:
         val = np.log(dvdz) + (lamb - 1.0) * np.log1p(z) - self._z_lognorm(lamb)
         return np.where(z <= self.zmax, val, -np.inf)
 
-    def _log_p_m1q(self, m1, q, alpha, beta, mu, sig, lam):
-        log_pq = log_powerlaw_varlow(q, beta, self.MMIN / m1, 1.0)
-        log_pl = log_powerlaw(m1, alpha, self.MMIN, self.MMAX)
-        log_peak = log_truncnorm(m1, mu, sig, self.MMIN, self.MMAX)
+    def _log_pz_fast(self, tag, lamb):
+        """Same as :meth:`_log_pz` against the precomputed per-bank logs."""
+        val = (
+            getattr(self, f"{tag}_log_dvdz")
+            + (lamb - 1.0) * getattr(self, f"{tag}_log1pz")
+            - self._z_lognorm(lamb)
+        )
+        z = self.pe_z if tag == "pe" else self.inj_z
+        return np.where(z <= self.zmax, val, -np.inf)
+
+    def _log_p_m1q(self, tag, m1, alpha, beta, mu, sig, lam):
+        """Mass-pair log population density over one precomputed bank.
+        Same math as the module-level log_powerlaw/log_powerlaw_varlow/
+        log_truncnorm, inlined against the cached logs."""
+        from scipy.special import ndtr
+
+        log_m1 = getattr(self, f"{tag}_log_m1")
+        log_q = getattr(self, f"{tag}_log_q")
+        log_loq = getattr(self, f"{tag}_log_loq")
+        mask = getattr(self, f"{tag}_mask_m1q")
+
+        ap1 = alpha + 1.0
+        if abs(ap1) < 1e-8:
+            norm_m = np.log(np.log(self.MMAX / self.MMIN))
+        else:
+            norm_m = np.log(np.abs((self.MMAX**ap1 - self.MMIN**ap1) / ap1))
+        log_pl = alpha * log_m1 - norm_m
+
+        bp1 = beta + 1.0
+        # q | m1 powerlaw normalized on [MMIN/m1, 1]: lo^bp1 = exp(bp1 log lo)
+        norm_q = np.log(np.abs((1.0 - np.exp(bp1 * log_loq)) / bp1))
+        log_pq = beta * log_q - norm_q
+
+        zmass = ndtr((self.MMAX - mu) / sig) - ndtr((self.MMIN - mu) / sig)
+        log_peak = (
+            -0.5 * ((m1 - mu) / sig) ** 2 - np.log(sig) - 0.5 * np.log(2 * np.pi) - np.log(zmass)
+        )
         with np.errstate(divide="ignore"):
             both = np.logaddexp(np.log1p(-lam) + log_pl, np.log(lam) + log_peak)
-        return log_pq + both
+        return np.where(mask, log_pq + both, -np.inf)
 
     def log_prior(self, theta):
         (alpha, beta, mu, sig, lam,
@@ -228,15 +277,15 @@ class IndependentPosterior:
         alpha, beta, mu, sig, lam = theta[:5]
         lamb = theta[13]
         logw_pe = (
-            self._log_p_m1q(self.pe_m1, self.pe_q, alpha, beta, mu, sig, lam)
+            self._log_p_m1q("pe", self.pe_m1, alpha, beta, mu, sig, lam)
             + self._log_spin("pe", theta)
-            + self._log_pz(self.pe_z, self.pe_dvdz, lamb)
+            + self._log_pz_fast("pe", lamb)
             - self.pe_logprior
         )
         logw_inj = (
-            self._log_p_m1q(self.inj_m1, self.inj_q, alpha, beta, mu, sig, lam)
+            self._log_p_m1q("inj", self.inj_m1, alpha, beta, mu, sig, lam)
             + self._log_spin("inj", theta)
-            + self._log_pz(self.inj_z, self.inj_dvdz, lamb)
+            + self._log_pz_fast("inj", lamb)
             - self.inj_logprior
         )
         logw_pe = np.where(np.isnan(logw_pe), -np.inf, logw_pe)
