@@ -1,0 +1,116 @@
+"""Chain-scaling efficiency measurement (VERDICT r2 item 6).
+
+Round 2 measured a 7x ESS/s REGRESSION from 16 -> 64 vmapped chains: a
+vmapped NUTS transition synchronizes every chain on the batch's deepest
+tree each step, and the E[max] tail grows with the batch.  The fix is
+``MCMC(chain_groups=G)``: ``lax.map`` over G sequential sub-batches, each
+syncing only on its OWN deepest tree (gwinferno_tpu/infer/mcmc.py
+``batched_transition``).
+
+This script produces the evidence table: min-ESS/s at 16/32/64 chains on
+the ambient platform with the group size that restores monotonic scaling,
+plus the ungrouped 64-chain row that documents the regression.  Writes
+``docs/chain_scaling.json``.
+
+Run on the TPU:  python tools/measure_chain_scaling.py
+(SCALE_WARMUP/SCALE_SAMPLES/SCALE_CONFIGS env overrides; each config pays
+one compile, so the sweep reuses segment-cached executables per config.)
+"""
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.abspath(os.path.join(HERE, ".."))
+sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402
+from gwinferno_tpu.infer import MCMC, NUTS  # noqa: E402
+from gwinferno_tpu.infer.diagnostics import effective_sample_size  # noqa: E402
+from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel  # noqa: E402
+from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict  # noqa: E402
+
+WARMUP = int(os.environ.get("SCALE_WARMUP", 200))
+SAMPLES = int(os.environ.get("SCALE_SAMPLES", 200))
+# (num_chains, chain_groups) pairs; group size 16 = the known-good batch
+DEFAULT_CONFIGS = "16:1,32:2,64:4,64:1"
+CONFIGS = [
+    tuple(int(v) for v in pair.split(":"))
+    for pair in os.environ.get("SCALE_CONFIGS", DEFAULT_CONFIGS).split(",")
+]
+
+
+def run_one(model, n_chains, groups):
+    bench.N_CHAINS = n_chains  # make_init sizes its jitter batch from this
+    mcmc = MCMC(
+        NUTS(
+            model,
+            dense_mass=bench.DENSE_MASS,
+            max_tree_depth=int(os.environ.get("BENCH_MAX_TREE_DEPTH", 6)),
+            target_accept_prob=float(os.environ.get("BENCH_TARGET_ACCEPT", 0.8)),
+        ),
+        num_warmup=WARMUP,
+        num_samples=SAMPLES,
+        num_chains=n_chains,
+        chain_groups=groups,
+        progress_bar=True,
+        max_steps_per_call=int(os.environ.get("BENCH_SEG", 25)),
+    )
+    t0 = time.time()
+    mcmc.run(jax.random.PRNGKey(0), init_params=bench.make_init(0))
+    jax.block_until_ready(mcmc._collected_z)
+    compile_plus_first = time.time() - t0
+
+    t0 = time.time()
+    mcmc.run(jax.random.PRNGKey(1), init_params=bench.make_init(1))
+    jax.block_until_ready(mcmc._collected_z)
+    wall = time.time() - t0
+
+    samples = mcmc.get_samples(group_by_chain=True)
+    ess = {k: float(effective_sample_size(np.asarray(v))) for k, v in samples.items() if np.asarray(v).ndim == 2}
+    min_ess = min(ess.values())
+    extra = mcmc.get_extra_fields()
+    return {
+        "num_chains": n_chains,
+        "chain_groups": groups,
+        "wall_s": round(wall, 2),
+        "compile_plus_first_run_s": round(compile_plus_first, 1),
+        "min_ess": round(min_ess, 1),
+        "min_ess_per_s": round(min_ess / wall, 2),
+        "divergence_rate": round(float(np.mean(np.asarray(extra["diverging"]))), 4),
+        "mean_tree_depth": round(float(np.mean(np.asarray(extra["tree_depth"]))), 2),
+    }
+
+
+def main():
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(bench.ensure_data())
+    z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
+    model = bench.make_model(pedict, injdict, constants, z_model)
+
+    rows = []
+    for n_chains, groups in CONFIGS:
+        print(f"--- {n_chains} chains / {groups} groups", file=sys.stderr, flush=True)
+        rows.append(run_one(model, n_chains, groups))
+        print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "config": f"bench.py 14-hyperparameter model, {WARMUP}w+{SAMPLES}s, depth 6, dense mass",
+        "rows": rows,
+    }
+    path = os.path.join(ROOT, "docs", "chain_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
