@@ -46,6 +46,14 @@ CONFIGS = [
     tuple(int(v) for v in pair.split(":"))
     for pair in os.environ.get("SCALE_CONFIGS", DEFAULT_CONFIGS).split(",")
 ]
+# SCALE_MESH=1: the multi-device variant -- chain axis sharded over all
+# local devices (run under JAX_PLATFORMS=cpu
+# XLA_FLAGS=--xla_force_host_platform_device_count=8) with the exact
+# Chan-pooled collective adaptation on.  Walls on a 2-core host
+# oversubscribed 8x are NOT efficiency evidence; the table demonstrates the
+# sharded path runs + scales monotonically in ESS, with per-config walls
+# for completeness.
+MESH_MODE = os.environ.get("SCALE_MESH", "0") == "1"
 
 
 def run_one(model, n_chains, groups):
@@ -61,6 +69,8 @@ def run_one(model, n_chains, groups):
         num_samples=SAMPLES,
         num_chains=n_chains,
         chain_groups=groups,
+        chain_method="parallel" if MESH_MODE else "vectorized",
+        collective_adaptation=MESH_MODE,
         progress_bar=True,
         max_steps_per_call=int(os.environ.get("BENCH_SEG", 25)),
     )
@@ -103,10 +113,12 @@ def main():
 
     out = {
         "platform": jax.devices()[0].platform,
+        "n_devices": len(jax.devices()),
+        "mode": "sharded chain axis + collective adaptation" if MESH_MODE else "single chip, vectorized + chain_groups",
         "config": f"bench.py 14-hyperparameter model, {WARMUP}w+{SAMPLES}s, depth 6, dense mass",
         "rows": rows,
     }
-    path = os.path.join(ROOT, "docs", "chain_scaling.json")
+    path = os.path.join(ROOT, "docs", "chain_scaling_mesh.json" if MESH_MODE else "chain_scaling.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)
