@@ -326,6 +326,66 @@ class IndependentPosterior:
         return lp + ll
 
 
+_POOL_POST = None
+
+
+def _pool_eval(theta):
+    return _POOL_POST(theta)
+
+
+def run_ensemble_parallel(log_post, x0, n_steps=4000, seed=7, a=2.0, progress_every=0, n_procs=2):
+    """Goodman & Weare stretch moves with the emcee-style red-black
+    (half-ensemble) update: each half proposes against partners drawn from
+    the other half, so the half's proposal evaluations are independent and
+    can be farmed to a fork-based process pool.  Detailed balance holds per
+    half-update (Foreman-Mackey et al. 2013, sec. 3); same stationary
+    distribution as :func:`run_ensemble`, different update schedule.
+
+    Returns (chain, acc_rate) with chain shape (n_steps, n_walkers, dim).
+    """
+    import multiprocessing as mp
+
+    global _POOL_POST
+    _POOL_POST = log_post  # inherited by fork()ed workers
+    ctx = mp.get_context("fork")
+    pool = ctx.Pool(n_procs)
+    try:
+        rng = np.random.default_rng(seed)
+        n_walkers, dim = x0.shape
+        half = n_walkers // 2
+        assert n_walkers % 2 == 0 and half >= 2, "need an even walker count >= 4"
+        walkers = x0.copy()
+        logp = np.array(pool.map(_pool_eval, list(walkers)))
+        chain = np.empty((n_steps, n_walkers, dim))
+        halves = (np.arange(0, half), np.arange(half, n_walkers))
+        n_acc = 0
+        for t in range(n_steps):
+            for h in (0, 1):
+                act, oth = halves[h], halves[1 - h]
+                j = oth[rng.integers(len(oth), size=len(act))]
+                zz = (1.0 + (a - 1.0) * rng.random(len(act))) ** 2 / a
+                props = walkers[j] + zz[:, None] * (walkers[act] - walkers[j])
+                lp_props = np.array(
+                    pool.map(_pool_eval, list(props), chunksize=max(1, len(act) // n_procs))
+                )
+                log_accept = (dim - 1) * np.log(zz) + lp_props - logp[act]
+                accept = np.log(rng.random(len(act))) < log_accept
+                walkers[act[accept]] = props[accept]
+                logp[act[accept]] = lp_props[accept]
+                n_acc += int(accept.sum())
+            chain[t] = walkers
+            if progress_every and (t + 1) % progress_every == 0:
+                print(
+                    f"  ensemble step {t + 1}/{n_steps} (acc {n_acc / ((t + 1) * n_walkers):.2f})",
+                    flush=True,
+                )
+        return chain, n_acc / (n_steps * n_walkers)
+    finally:
+        pool.close()
+        pool.join()
+        _POOL_POST = None
+
+
 def run_ensemble(log_post, x0, n_walkers=48, n_steps=4000, seed=7, a=2.0, progress_every=0):
     """Goodman & Weare affine-invariant stretch-move ensemble sampler
     (pure numpy, no JAX, no HMC machinery).  Returns (chain, acc_rate):

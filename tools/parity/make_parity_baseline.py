@@ -90,7 +90,15 @@ def main():
 
     t0 = time.time()
     n_steps = int(os.environ.get("PARITY_STEPS", 3000))
-    chain, acc = run_ensemble(post, x0, n_walkers=n_walkers, n_steps=n_steps, progress_every=200)
+    n_procs = int(os.environ.get("PARITY_PROCS", 2))
+    if n_procs > 1:
+        from tools.parity.independent_numpy_model import run_ensemble_parallel
+
+        chain, acc = run_ensemble_parallel(
+            post, x0, n_steps=n_steps, progress_every=50, n_procs=n_procs
+        )
+    else:
+        chain, acc = run_ensemble(post, x0, n_walkers=n_walkers, n_steps=n_steps, progress_every=200)
     wall = time.time() - t0
     burn = n_steps // 3
     kept = chain[burn:]  # (steps, walkers, dim)
