@@ -9,8 +9,9 @@ the framework's log-density (ppl.log_density on the bench model) and the
 pure-numpy IndependentPosterior at random hyperparameter points and require
 the DIFFERENCE to be constant to ~1e-4 in f64.  Any modeling discrepancy --
 wrong pdf, wrong truncation, wrong selection term, wrong prior -- shows up
-as point-to-point variation; only normalization conventions (and the
-constant Gamma(unscaled_rate) factor) may differ.
+as point-to-point variation; only normalization conventions may differ
+(the Gamma(Nobs) rate prior is subtracted analytically, so the rate
+dependence is checked too).
 
 Reference seam analogue: tests/inference_test.py:313-347 (potential energy
 at known points).
@@ -28,6 +29,7 @@ ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 @pytest.mark.filterwarnings("ignore")
 def test_log_density_matches_independent_up_to_constant(pe_inj_synthetic_file):
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         sys.path.insert(0, ROOT)
@@ -48,13 +50,22 @@ def test_log_density_matches_independent_up_to_constant(pe_inj_synthetic_file):
             [0.3, 0.3, 1.5, 0.8, 0.05, 0.04, 0.008, 0.04, 0.008, 0.08, 0.08, 0.12, 0.12, 1.2]
         )
 
+        # unscaled_rate is jittered too: the framework's rate term must be
+        # exactly the analytic Gamma(Nobs) log-pdf (the independent model
+        # omits it as rate-independent of the data), so subtract it and any
+        # wrong rate exponent in the likelihood shows up as spread instead
+        # of being absorbed into the constant offset.
+        from scipy.stats import gamma as scipy_gamma
+
+        n_obs = int(constants["nObs"])
         deltas = []
         for _ in range(8):
             theta = base + jitter * rng.uniform(-1.0, 1.0, len(base))
+            r = float(rng.uniform(40.0, 110.0))
             params = {k: float(v) for k, v in zip(PARAM_ORDER, theta)}
-            params["unscaled_rate"] = 69.0
+            params["unscaled_rate"] = r
             ld, _ = ppl.log_density(model, (), {}, params)
-            deltas.append(float(ld) - post(theta))
+            deltas.append(float(ld) - post(theta) - scipy_gamma.logpdf(r, n_obs))
         deltas = np.asarray(deltas)
 
         assert np.isfinite(deltas).all()
@@ -64,4 +75,4 @@ def test_log_density_matches_independent_up_to_constant(pe_inj_synthetic_file):
             f"the model implementations disagree: {deltas}"
         )
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
