@@ -26,6 +26,7 @@ from ..infer import HMC
 from ..infer import find_map  # re-export parity (analysis.py:24-47)
 from .parser import PopMixtureModel
 from .parser import PopModel
+from .parser import PopPrior
 
 __all__ = [
     "NP_KERNEL_MAP",
@@ -293,6 +294,59 @@ def _posterior_predictive_sites(
             ppl.deterministic(f"{p}_pred_event_{ev}", jnp.asarray(injdata[p])[pred_idx[ev]])
 
 
+def _plan_hyperpriors(prior_dict):
+    """Split the flat hyperprior dict into sample-site specs and pinned
+    constants, once, at construction time (nothing config-shaped survives
+    into the traced model)."""
+    sites, pinned = [], {}
+    for name, spec in prior_dict.items():
+        if isinstance(spec, PopPrior):
+            sites.append((name, spec.dist, spec.params))
+        else:
+            pinned[name] = spec
+    return sites, pinned
+
+
+def _plan_population_builders(model_dict, z_grid):
+    """Compile each config block into a builder ``hypers -> distribution``.
+
+    All site-name mangling (``{param}_{hp}``, ``{param}_component_{i}_{hp}``,
+    ``{param}_mixture_dist_{hp}``) is resolved here into key lists; the
+    builders themselves only do dict lookups and constructor calls.  String
+    blocks are iid aliases: the parser records ``models[shared] = source``
+    (parser.py:add_iid_model), so the alias key reuses the model built for
+    the block it points at.
+    """
+    builders, aliases = [], []
+    for param, spec in model_dict.items():
+        if isinstance(spec, PopMixtureModel):
+            comp_keys = [
+                (cls, [(f"{param}_component_{i + 1}_{hp}", hp) for hp in hps])
+                for i, (cls, hps) in enumerate(zip(spec.components, spec.component_params))
+            ]
+            mix_keys = [(f"{param}_mixture_dist_{hp}", hp) for hp in spec.mixing_params]
+
+            def build_mixture(hypers, spec=spec, comp_keys=comp_keys, mix_keys=mix_keys):
+                comps = [cls(**{hp: hypers[key] for key, hp in keys}) for cls, keys in comp_keys]
+                mixing = spec.mixing_dist(**{hp: hypers[key] for key, hp in mix_keys})
+                return spec.model(mixing, comps)
+
+            builders.append((param, build_mixture))
+        elif isinstance(spec, PopModel):
+            keys = [(f"{param}_{hp}", hp) for hp in spec.params]
+            extra = {"grid": z_grid} if param == "redshift" else {}
+
+            def build_single(hypers, spec=spec, keys=keys, extra=extra):
+                return spec.model(**{hp: hypers[key] for key, hp in keys}, **extra)
+
+            builders.append((param, build_single))
+        elif isinstance(spec, str):
+            aliases.append((param, spec))
+        else:
+            raise ValueError(f"Unknown model type: {type(spec)}:{spec}")
+    return builders, aliases
+
+
 def construct_hierarchical_model(
     model_dict,
     prior_dict,
@@ -303,65 +357,49 @@ def construct_hierarchical_model(
 ):
     """Build a PPL model closure from config-driven model/prior dicts.
 
-    Parity: gwinferno/pipeline/analysis.py:359-424 (hyperprior sampling,
-    mixture instantiation, iid aliasing, redshift z-grid special case, VT
-    from the redshift model's ``norm``).
+    Behavioral parity with gwinferno/pipeline/analysis.py:359-424 (hyperprior
+    sampling, mixture instantiation, iid aliasing, redshift z-grid special
+    case, VT from the redshift model's ``norm``), but structured as a
+    two-phase compile: the config dicts are resolved into a site plan and
+    population builders HERE, so the traced model never walks config
+    structures -- it replays a flat plan (smaller traced program, and config
+    errors surface at construction instead of first trace).
     """
-    source_param_names = [k for k in model_dict.keys()]
-    hyper_params = {k: None for k in prior_dict.keys()}
-    pop_models = {k: None for k in model_dict.keys()}
-
-    if "redshift" in pop_models.keys():
+    source_params = tuple(model_dict)
+    z_grid = None
+    if "redshift" in model_dict:
         z_grid = jnp.linspace(1e-9, prior_dict["redshift_maximum"], 1000)
+    sites, pinned = _plan_hyperpriors(prior_dict)
+    builders, aliases = _plan_population_builders(model_dict, z_grid)
 
     def model(samps, injs, Ninj, Nobs, Tobs):
-        for k, v in prior_dict.items():
-            try:
-                hyper_params[k] = ppl.sample(k, v.dist(**v.params))
-            except AttributeError:
-                hyper_params[k] = v
-        iid_mapping = {}
-        for k, v in model_dict.items():
-            if isinstance(v, PopMixtureModel):
-                components = [
-                    v.components[i](**{p: hyper_params[f"{k}_component_{i + 1}_{p}"] for p in v.component_params[i]})
-                    for i in range(len(v.components))
-                ]
-                mixing_dist = v.mixing_dist(**{p: hyper_params[f"{k}_mixture_dist_{p}"] for p in v.mixing_params})
-                pop_models[k] = v.model(mixing_dist, components)
-            elif isinstance(v, PopModel):
-                hps = {p: hyper_params[f"{k}_{p}"] for p in v.params}
-                if k == "redshift":
-                    hps["grid"] = z_grid
-                pop_models[k] = v.model(**hps)
-            elif isinstance(v, str):
-                iid_mapping[v] = k
-            else:
-                raise ValueError(f"Unknown model type: {type(v)}:{v}")
-        for shared_param, param in iid_mapping.items():
-            pop_models[shared_param] = pop_models[param]
+        hypers = dict(pinned)
+        for name, dist_cls, dist_kwargs in sites:
+            hypers[name] = ppl.sample(name, dist_cls(**dist_kwargs))
+        dists = {param: build(hypers) for param, build in builders}
+        for alias, source in aliases:
+            dists[alias] = dists[source]
 
-        inj_weights = jnp.sum(
-            jnp.array([pop_models[k].log_prob(injs[k]) for k in source_param_names]), axis=0
-        ) - jnp.log(injs["prior"])
-        pe_weights = jnp.sum(
-            jnp.array([pop_models[k].log_prob(samps[k]) for k in source_param_names]), axis=0
-        ) - jnp.log(samps["prior"])
+        def bank_log_weights(data):
+            lw = -jnp.log(data["prior"])
+            for p in source_params:
+                lw = lw + dists[p].log_prob(data[p])
+            return lw
 
         hierarchical_likelihood(
-            pe_weights,
-            inj_weights,
+            bank_log_weights(samps),
+            bank_log_weights(injs),
             total_inj=Ninj,
             Nobs=Nobs,
             Tobs=Tobs,
-            surveyed_hypervolume=pop_models["redshift"].norm,
+            surveyed_hypervolume=dists["redshift"].norm,
             marginalize_selection=marginalize_selection,
             min_neff_cut=min_neff_cut,
             max_variance_cut=max_variance_cut,
             posterior_predictive_check=posterior_predictive_check,
             pedata=samps,
             injdata=injs,
-            param_names=source_param_names,
+            param_names=source_params,
             m1min=2.0,
             m2min=2.0,
             mmax=100.0,

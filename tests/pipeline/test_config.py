@@ -51,6 +51,110 @@ def test_config_py_reader():
     assert not reader.priors
 
 
+_IID_MODELS_TMPL = """
+label: iid_roundtrip
+outdir: /tmp/iid_roundtrip
+
+models:
+  mass_1:
+    model: gwinferno.numpyro_distributions.Powerlaw
+    hyper_params:
+      alpha:
+        prior: numpyro.distributions.Normal
+        prior_params:
+          loc: 0.0
+          scale: 3.0
+      minimum:
+        value: 5.0
+      maximum:
+        value: 100.0
+  mass_ratio:
+    model: gwinferno.numpyro_distributions.Powerlaw
+    hyper_params:
+      alpha:
+        value: 1.0
+      minimum:
+        value: 0.02
+      maximum:
+        value: 1.0
+  redshift:
+    model: gwinferno.numpyro_distributions.PowerlawRedshift
+    hyper_params:
+      lamb:
+        value: 2.0
+      maximum:
+        value: 2.3
+  a_1:
+    model: gwinferno.numpyro_distributions.Powerlaw
+    hyper_params:
+      alpha:
+        prior: numpyro.distributions.Normal
+        prior_params:
+          loc: 0.0
+          scale: 2.0
+      minimum:
+        value: 0.001
+      maximum:
+        value: 1.0
+{a1_extra}
+{a2_block}
+sampler:
+  kernel: NUTS
+
+likelihood:
+  marginalize_selection: false
+  min_neff_cut: false
+  max_variance_cut: false
+  posterior_predictive_check: false
+"""
+
+_IID_ALIAS = """    iid:
+      shared_parameter: a_2
+"""
+
+_A2_EXPLICIT = """  a_2:
+    model: gwinferno.numpyro_distributions.Powerlaw
+    hyper_params:
+      alpha:
+        value: 1.3
+      minimum:
+        value: 0.001
+      maximum:
+        value: 1.0
+"""
+
+
+def test_iid_alias_roundtrip(pe_inj_file, tmp_path):
+    """An ``iid: shared_parameter`` block must reuse the source block's model:
+    the config with ``a_1 iid-> a_2`` evaluates to exactly the same log
+    density as an explicit config whose a_2 block pins the same alpha."""
+    cfg_iid = tmp_path / "iid.yml"
+    cfg_iid.write_text(_IID_MODELS_TMPL.format(a1_extra=_IID_ALIAS, a2_block=""))
+    cfg_exp = tmp_path / "explicit.yml"
+    cfg_exp.write_text(_IID_MODELS_TMPL.format(a1_extra="", a2_block=_A2_EXPLICIT))
+
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_file)
+    rng = np.random.default_rng(1)
+    idx = rng.choice(pedict["mass_1"].shape[1], size=50, replace=False)
+    pedict = {k: v[:, idx] for k, v in pedict.items()}
+    args = (pedict, injdict, constants["total_inj"], constants["nObs"], constants["obs_time"])
+    params = {"mass_1_alpha": jnp.array(-2.0), "a_1_alpha": jnp.array(1.3), "unscaled_rate": jnp.array(40.0)}
+
+    vals = []
+    for cfg in (cfg_iid, cfg_exp):
+        reader = ConfigReader()
+        reader.parse(str(cfg))
+        model = construct_hierarchical_model(reader.models, reader.priors, **reader.likelihood_kwargs)
+        ld, _ = ppl.log_density(model, args, {}, params)
+        vals.append(float(ld))
+
+    reader = ConfigReader()
+    reader.parse(str(cfg_iid))
+    assert reader.models["a_2"] == "a_1"
+    assert np.isfinite(vals[0])
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-12)
+
+
 def test_config_driven_potential_energy(pe_inj_file):
     """The full config-driven model evaluates to a finite potential energy."""
     reader = ConfigReader()
