@@ -15,9 +15,12 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.integrate import trapezoid
 
+from .distributions import safe_log
 from .models.bsplines.smoothing import apply_difference_prior
 from .ppl import constraints
 from .ppl.distributions import Distribution
+
+_LOG2 = jnp.log(2.0)
 
 __all__ = [
     "cumtrapz",
@@ -38,59 +41,74 @@ def cumtrapz(y, x):
     return jnp.concatenate([jnp.zeros_like(y[:1]), jnp.cumsum(heights)])
 
 
-class Sine(Distribution):
-    """p(x) proportional to sin(x) on [minimum, maximum] (parity: :27-61)."""
+class _InverseTransformSampling:
+    """Draws by pushing uniforms through ``icdf`` -- shared by every adapter
+    with an invertible cdf (closed-form or tabulated)."""
+
+    def sample(self, key, sample_shape=()):
+        u = jax.random.uniform(key, tuple(sample_shape) + self.batch_shape)
+        return self.icdf(u)
+
+
+class Sine(_InverseTransformSampling, Distribution):
+    """p(x) proportional to sin(x) on [minimum, maximum] (parity: :27-61).
+
+    cdf/icdf are the lerp between the endpoint cosines: F(x) interpolates
+    cos(minimum) -> cos(maximum) linearly in probability, so the inverse is
+    one arccos of that lerp.
+    """
 
     def __init__(self, minimum=0.0, maximum=jnp.pi):
         self.minimum, self.maximum = minimum, maximum
         super().__init__(jnp.broadcast_shapes(jnp.shape(minimum), jnp.shape(maximum)))
         self.support = constraints.interval(minimum, maximum)
-
-    def sample(self, key, sample_shape=()):
-        return self.icdf(jax.random.uniform(key, tuple(sample_shape) + self.batch_shape))
+        self._c0, self._c1 = jnp.cos(minimum), jnp.cos(maximum)
 
     def log_prob(self, value):
-        lp = jnp.log(jnp.sin(value) / 2.0)
-        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        return safe_log(jnp.sin(value)) - _LOG2
 
     def cdf(self, value):
-        cdf = jnp.atleast_1d((jnp.cos(value) - jnp.cos(self.minimum)) / (jnp.cos(self.maximum) - jnp.cos(self.minimum)))
-        cdf = jnp.where(jnp.less(value, self.minimum), 0.0, cdf)
-        return jnp.where(jnp.greater(value, self.maximum), 1.0, cdf)
+        raw = (self._c0 - jnp.cos(value)) / (self._c0 - self._c1)
+        out = jnp.where(value < self.minimum, 0.0, jnp.where(value > self.maximum, 1.0, raw))
+        return jnp.atleast_1d(out)
 
     def icdf(self, q):
-        norm = jnp.cos(self.minimum) - jnp.cos(self.maximum)
-        return jnp.arccos(jnp.cos(self.minimum) - q * norm)
+        return jnp.arccos(self._c0 + q * (self._c1 - self._c0))
 
 
-class Cosine(Distribution):
-    """p(x) proportional to cos(x) on [minimum, maximum] (parity: :64-98)."""
+class Cosine(_InverseTransformSampling, Distribution):
+    """p(x) proportional to cos(x) on [minimum, maximum] (parity: :64-98).
+
+    Same lerp structure as :class:`Sine` with the endpoint sines.
+    """
 
     def __init__(self, minimum=-jnp.pi / 2.0, maximum=jnp.pi / 2.0):
         self.minimum, self.maximum = minimum, maximum
         super().__init__(jnp.broadcast_shapes(jnp.shape(minimum), jnp.shape(maximum)))
         self.support = constraints.interval(minimum, maximum)
-
-    def sample(self, key, sample_shape=()):
-        return self.icdf(jax.random.uniform(key, tuple(sample_shape) + self.batch_shape))
+        self._s0, self._s1 = jnp.sin(minimum), jnp.sin(maximum)
 
     def log_prob(self, value):
-        lp = jnp.log(jnp.cos(value) / 2.0)
-        return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        return safe_log(jnp.cos(value)) - _LOG2
 
     def cdf(self, value):
-        cdf = jnp.atleast_1d((jnp.sin(value) - jnp.sin(self.minimum)) / (jnp.sin(self.maximum) - jnp.sin(self.minimum)))
-        cdf = jnp.where(jnp.less(value, self.minimum), 0.0, cdf)
-        return jnp.where(jnp.greater(value, self.maximum), 1.0, cdf)
+        raw = (jnp.sin(value) - self._s0) / (self._s1 - self._s0)
+        out = jnp.where(value < self.minimum, 0.0, jnp.where(value > self.maximum, 1.0, raw))
+        return jnp.atleast_1d(out)
 
     def icdf(self, q):
-        norm = jnp.sin(self.minimum) - jnp.sin(self.maximum)
-        return jnp.arcsin(jnp.sin(self.minimum) - q * norm)
+        return jnp.arcsin(self._s0 + q * (self._s1 - self._s0))
 
 
-class Powerlaw(Distribution):
+class Powerlaw(_InverseTransformSampling, Distribution):
     """Truncated powerlaw with the alpha == -1 logarithmic branch
-    (parity: :101-153)."""
+    (parity: :101-153).
+
+    Every method selects between the generic branch and the alpha == -1
+    limit, where the density is log-uniform: the cdf lerps log(x) between
+    the endpoints and the icdf is the geometric interpolation
+    minimum^(1-q) maximum^q.
+    """
 
     def __init__(self, alpha, minimum=0.0, maximum=1.0, low=0.0, high=1.0):
         # as jnp values so the alpha == -1 branch stays an array select
@@ -100,40 +118,71 @@ class Powerlaw(Distribution):
         super().__init__(jnp.broadcast_shapes(jnp.shape(minimum), jnp.shape(maximum), jnp.shape(alpha)))
         self.support = constraints.interval(low, high)
 
-    def sample(self, key, sample_shape=()):
-        return self.icdf(jax.random.uniform(key, tuple(sample_shape) + self.batch_shape))
+    @property
+    def _is_log_uniform(self):
+        return jnp.equal(self.alpha, -1.0)
+
+    def _log_norm(self):
+        """log of the truncation integral, on the right branch.
+
+        NB the reference adapter drops the outer log on its alpha == -1
+        normalization (numpyro_distributions.py:131), inconsistent with its
+        own cdf (:142); the intended normalization 1/(x ln(max/min)) is
+        implemented here.
+        """
+        ap1 = 1.0 + self.alpha
+        log_ratio = jnp.log(self.maximum) - jnp.log(self.minimum)
+        generic = jnp.log(jnp.abs(self.maximum**ap1 - self.minimum**ap1)) - jnp.log(jnp.abs(ap1))
+        return jnp.where(self._is_log_uniform, jnp.log(log_ratio), generic)
 
     def log_prob(self, value):
-        logp = self.alpha * jnp.log(value)
-        logp = logp + jnp.log((1.0 + self.alpha) / (self.maximum ** (1.0 + self.alpha) - self.minimum ** (1.0 + self.alpha)))
-        # alpha == -1: p(x) = 1 / (x ln(max/min)).  NB the reference adapter
-        # drops the outer log here (numpyro_distributions.py:131), which is
-        # inconsistent with its own cdf (:142) and with distributions.py:112;
-        # we implement the intended normalization.
-        logp_neg1 = -jnp.log(value) - jnp.log(jnp.log(self.maximum / self.minimum))
-        return jnp.where(
-            jnp.less(value, self.minimum) | jnp.greater(value, self.maximum),
-            jnp.nan_to_num(-jnp.inf),
-            jnp.where(jnp.equal(self.alpha, -1.0), logp_neg1, logp),
-        )
+        logx = jnp.log(value)
+        shape = jnp.where(self._is_log_uniform, -logx, self.alpha * logx)
+        in_support = (value >= self.minimum) & (value <= self.maximum)
+        return jnp.where(in_support, shape - self._log_norm(), jnp.nan_to_num(-jnp.inf))
 
     def cdf(self, value):
-        cdf = jnp.atleast_1d(value ** (self.alpha + 1.0) - self.minimum ** (self.alpha + 1.0)) / (
-            self.maximum ** (self.alpha + 1.0) - self.minimum ** (self.alpha + 1.0)
-        )
-        cdf_neg1 = jnp.log(value / self.minimum) / jnp.log(self.maximum / self.minimum)
-        cdf = jnp.where(jnp.equal(self.alpha, -1.0), cdf_neg1, cdf)
-        return jnp.clip(cdf, 0.0, 1.0)
+        ap1 = 1.0 + self.alpha
+        lo = self.minimum**ap1
+        generic = (value**ap1 - lo) / (self.maximum**ap1 - lo)
+        log_frac = (jnp.log(value) - jnp.log(self.minimum)) / (jnp.log(self.maximum) - jnp.log(self.minimum))
+        out = jnp.where(self._is_log_uniform, log_frac, generic)
+        return jnp.clip(jnp.atleast_1d(out), 0.0, 1.0)
 
     def icdf(self, q):
-        icdf = (self.minimum ** (1.0 + self.alpha) + q * (self.maximum ** (1.0 + self.alpha) - self.minimum ** (1.0 + self.alpha))) ** (
-            1.0 / (1.0 + self.alpha)
-        )
-        icdf_neg1 = self.minimum * jnp.exp(q * jnp.log(self.maximum / self.minimum))
-        return jnp.where(jnp.equal(self.alpha, -1.0), icdf_neg1, icdf)
+        ap1 = 1.0 + self.alpha
+        lo, hi = self.minimum**ap1, self.maximum**ap1
+        generic = (lo + q * (hi - lo)) ** (1.0 / ap1)
+        geometric = jnp.exp(jnp.log(self.minimum) + q * (jnp.log(self.maximum) - jnp.log(self.minimum)))
+        return jnp.where(self._is_log_uniform, geometric, generic)
 
 
-class PowerlawRedshift(Distribution):
+class _TabulatedDensity(_InverseTransformSampling, Distribution):
+    """Density tabulated on a 1-D grid.
+
+    Subclasses call :meth:`_build_grid_tables` with the grid and the
+    unnormalized linear-space pdf values; this computes the trapezoid
+    normalization (exposed as ``.norm``) and a cumulative-probability table,
+    and serves cdf/icdf (hence sampling) by linear interpolation against it.
+    """
+
+    def _build_grid_tables(self, grid, unnorm_pdf):
+        self.grid = grid
+        self.norm = trapezoid(unnorm_pdf, grid)
+        self.pdfs = unnorm_pdf / self.norm
+        cum = cumtrapz(self.pdfs, grid)
+        # cum[-1] is the same quadrature as `norm`, i.e. exactly 1 up to fp
+        # roundoff; dividing through keeps the table monotone with unit total
+        self.cdfgrid = cum / cum[-1]
+
+    def cdf(self, value):
+        return jnp.interp(value, self.grid, self.cdfgrid)
+
+    def icdf(self, q):
+        return jnp.interp(q, self.cdfgrid, self.grid)
+
+
+class PowerlawRedshift(_TabulatedDensity):
     """Grid-based p(z) proportional to dVc/dz (1+z)^(lamb-1); ``.norm`` is the
     surveyed hypervolume consumed by rate reconstruction (parity: :156-201,
     analysis.py:410)."""
@@ -146,32 +195,14 @@ class PowerlawRedshift(Distribution):
         self.support = constraints.interval(low, high)
         if zgrid is None:
             zgrid = grid if grid is not None else jnp.linspace(1e-9, maximum, 1000)
-        if dVcdz is None:
-            dVcdz = Planck15.dVcdz(zgrid)
         self.zs = zgrid
-        self.dVdc_ = dVcdz
-        self.pdfs = self.dVdc_ * (1 + self.zs) ** (lamb - 1)
-        self.norm = trapezoid(self.pdfs, self.zs)
-        self.pdfs = self.pdfs / self.norm
-        self.cdfgrid = cumtrapz(self.pdfs, self.zs).at[-1].set(1)
-
-    def sample(self, key, sample_shape=()):
-        return self.icdf(jax.random.uniform(key, tuple(sample_shape) + self.batch_shape))
+        self.dVcdz_grid = Planck15.dVcdz(zgrid) if dVcdz is None else dVcdz
+        self._build_grid_tables(zgrid, self.dVcdz_grid * jnp.power(1.0 + zgrid, lamb - 1.0))
 
     def log_prob(self, value, dVdc=None):
-        if dVdc is None:
-            dVdc = jnp.interp(value, self.zs, self.dVdc_)
-        return jnp.where(
-            jnp.less_equal(value, self.maximum),
-            jnp.log(dVdc) + (self.lamb - 1.0) * jnp.log(1.0 + value) - jnp.log(self.norm),
-            jnp.nan_to_num(-jnp.inf),
-        )
-
-    def cdf(self, value):
-        return jnp.interp(value, self.zs, self.cdfgrid)
-
-    def icdf(self, q):
-        return jnp.interp(q, self.cdfgrid, self.zs)
+        dv = jnp.interp(value, self.zs, self.dVcdz_grid) if dVdc is None else dVdc
+        lp = safe_log(dv) + (self.lamb - 1.0) * jnp.log1p(value) - jnp.log(self.norm)
+        return jnp.where(value <= self.maximum, lp, jnp.nan_to_num(-jnp.inf))
 
 
 class PowerlawSmoothedPowerlaw(Distribution):
@@ -217,7 +248,7 @@ class PowerlawSmoothedPowerlaw(Distribution):
         return low_pl + mid_pl + high_pl
 
 
-class BSplineDistribution(Distribution):
+class BSplineDistribution(_TabulatedDensity):
     """Generic 1-D pdf from a spline design matrix on a grid: lpdf table +
     trapezoid norm + cumtrapz cdf built at construction (parity: :258-299)."""
 
@@ -225,28 +256,14 @@ class BSplineDistribution(Distribution):
         self.minimum, self.maximum, self.cs = minimum, maximum, cs
         super().__init__(jnp.broadcast_shapes(jnp.shape(maximum), jnp.shape(minimum)))
         self.support = constraints.interval(minimum, maximum)
-        self.grid = grid
-        # grid_dmat may contain non-finite rows where the grid leaves the support
-        self.lpdfs = jnp.nan_to_num(jnp.einsum("i,i...->...", self.cs, grid_dmat), nan=-jnp.inf)
-        self.pdfs = jnp.exp(self.lpdfs)
-        self.norm = trapezoid(self.pdfs, self.grid)
-        self.pdfs = self.pdfs / self.norm
-        self.cdfgrid = cumtrapz(self.pdfs, self.grid).at[-1].set(1)
-
-    def sample(self, key, sample_shape=()):
-        return self.icdf(jax.random.uniform(key, tuple(sample_shape) + self.batch_shape))
-
-    def _log_prob_nonorm(self, value):
-        return jnp.interp(value, self.grid, self.lpdfs)
+        # coefficient projection in log space; grid points outside the basis
+        # support project to NaN and must tabulate as zero density, not NaN
+        proj = jnp.tensordot(cs, grid_dmat, axes=1)
+        self.lpdfs = jnp.where(jnp.isnan(proj), -jnp.inf, proj)
+        self._build_grid_tables(grid, jnp.exp(self.lpdfs))
 
     def log_prob(self, value):
-        return self._log_prob_nonorm(value) - jnp.log(self.norm)
-
-    def cdf(self, value):
-        return jnp.interp(value, self.grid, self.cdfgrid)
-
-    def icdf(self, q):
-        return jnp.interp(q, self.cdfgrid, self.grid)
+        return jnp.interp(value, self.grid, self.lpdfs) - jnp.log(self.norm)
 
 
 class PSplineCoeficientPrior(Distribution):
