@@ -95,9 +95,17 @@ class MCMC:
         chain_axis="chain",
         max_steps_per_call=None,
         chain_groups=1,
+        chain_scheduler="auto",
     ):
         if chain_method not in _CHAIN_METHODS:
             raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
+        if chain_scheduler not in ("auto", "sync", "async"):
+            raise ValueError(f"chain_scheduler must be auto/sync/async, got {chain_scheduler!r}")
+        if chain_scheduler == "async" and collective_adaptation:
+            raise ValueError(
+                "chain_scheduler='async' runs chains at unsynchronized transition "
+                "indices; collective adaptation needs lockstep chains (use 'sync')"
+            )
         if jit_model_args:
             raise ValueError(
                 "jit_model_args=True is not supported: model args are closed over "
@@ -120,6 +128,7 @@ class MCMC:
         self.chain_method = chain_method
         self.progress_bar = progress_bar
         self.max_steps_per_call = max_steps_per_call
+        self.chain_scheduler = chain_scheduler
         self.mesh = mesh
         self.chain_axis = chain_axis
         self._samples = None
@@ -218,7 +227,7 @@ class MCMC:
 
     # ------------------------------------------------------------------ program
 
-    def _build_programs(self, pf_from, dim, dtype, nc, find_ss0):
+    def _build_programs(self, pf_from, dim, dtype, nc, find_ss0, use_async=False):
         """Build (init_fn, scan_fn), each jitted once; reused across run() calls.
 
         ``pf_from(consts) -> potential_fn``: both programs take the hoisted
@@ -324,7 +333,116 @@ class MCMC:
             transition = kernel.make_transition(pf_from(consts))
             return jax.lax.scan(lambda c, x: step(transition, c, x), carry, xs)
 
-        return jax.jit(init_fn), jax.jit(scan_fn)
+        def async_scan_fn(carry, xs, consts):
+            """Continuous-batching drop-in for ``scan_fn``: one leapfrog per
+            chain per round instead of one transition per chain per step.
+
+            A vmapped NUTS transition synchronizes every chain on the batch's
+            DEEPEST tree each step; here each chain runs its own transition
+            state machine (nuts.tree_start/step/finish) and starts its next
+            transition the round it finishes, so the deepest-tree wait is
+            paid once per dispatched segment, not once per step.  Outputs and
+            final carry are BIT-IDENTICAL to ``scan_fn``: the (step, chain)
+            key table reproduces the sync key stream, and every per-chain
+            adaptation update (dual averaging, Welford, window close,
+            step-size capture) fires at the same per-chain step index in the
+            same order.
+            """
+            start, active, tstep, finish = kernel.make_tree_ops(pf_from(consts))
+            state0, da0, wf0, mm0, ssf0, key0 = carry
+            is_warmup, in_slow, window_end, finalize = xs
+            K = is_warmup.shape[0]
+            chain_ids = jnp.arange(nc)
+            i32 = jnp.int32
+
+            # the sync engine's per-step key consumption, precomputed
+            def mk_keys(k, _):
+                k, sub = jax.random.split(k)
+                return k, jax.random.split(sub, nc)
+
+            key_end, keys_tbl = jax.lax.scan(mk_keys, key0, None, length=K)
+
+            def sel(mask, new, old):
+                return jax.tree.map(
+                    lambda a, b: jnp.where(mask.reshape((nc,) + (1,) * (a.ndim - 1)), a, b),
+                    new, old,
+                )
+
+            ss0 = jnp.where(is_warmup[0], jnp.exp(da0.log_step), ssf0)
+            tc0 = jax.vmap(lambda s, m, ss, k: start(s, m, ss, k))(state0, mm0, ss0, keys_tbl[0])
+            # per-chain output buffers with a K-th spill row for masked writes
+            bufs0 = {
+                "z": jnp.zeros((nc, K + 1, dim), dtype),
+                "accept_prob": jnp.zeros((nc, K + 1), dtype),
+                "diverging": jnp.zeros((nc, K + 1), bool),
+                "num_steps": jnp.zeros((nc, K + 1), i32),
+                "energy": jnp.zeros((nc, K + 1), dtype),
+                "potential_energy": jnp.zeros((nc, K + 1), dtype),
+                "tree_depth": jnp.zeros((nc, K + 1), i32),
+            }
+
+            def cond(lc):
+                return jnp.any(lc[0] < K)
+
+            def body(lc):
+                t, tc, state, da, wf, mm, ss_final, bufs = lc
+                running = t < K
+                stepped = jax.vmap(tstep)(mm, tc)
+                tc = sel(running, stepped, tc)
+                done = running & ~jax.vmap(active)(tc)
+                state = sel(done, jax.vmap(finish)(tc), state)
+
+                ti = jnp.minimum(t, K - 1)
+                w_is, w_slow = is_warmup[ti], in_slow[ti]
+                w_close, w_fin = window_end[ti], finalize[ti]
+
+                if adapt_ss:
+                    da_new = jax.vmap(lambda d, a: da_update(d, a, target=target))(da, state.accept_prob)
+                    da = sel(done & w_is, da_new, da)
+                if adapt_mm:
+                    wf_new = jax.vmap(welford_update)(wf, state.z)
+                    wf = sel(done & w_is & w_slow, wf_new, wf)
+                    # per-chain window close (the async scheduler is gated to
+                    # non-collective adaptation)
+                    close = done & w_close
+                    cov = jax.vmap(welford_covariance)(wf)
+                    mm = sel(close, jax.vmap(mass_matrix_from_inverse)(cov), mm)
+                    da = sel(close, jax.vmap(da_init)(jnp.exp(da.log_step)), da)
+                    wf = sel(close, wf_fresh(), wf)
+
+                ss_now = jnp.exp(da.log_step_avg) if adapt_ss else tc.step_size
+                ss_final = jnp.where(done & w_fin, ss_now, ss_final)
+
+                widx = jnp.where(done, t, K)
+
+                def wr(buf, val):
+                    return jax.vmap(lambda b, i, v: b.at[i].set(v))(buf, widx, val)
+
+                bufs = {
+                    "z": wr(bufs["z"], state.z),
+                    "accept_prob": wr(bufs["accept_prob"], state.accept_prob),
+                    "diverging": wr(bufs["diverging"], state.diverging),
+                    "num_steps": wr(bufs["num_steps"], state.num_steps),
+                    "energy": wr(bufs["energy"], state.energy),
+                    "potential_energy": wr(bufs["potential_energy"], state.pe),
+                    "tree_depth": wr(bufs["tree_depth"], state.tree_depth),
+                }
+
+                t = t + done.astype(i32)
+                ti2 = jnp.minimum(t, K - 1)
+                ss_next = jnp.where(is_warmup[ti2], jnp.exp(da.log_step), ss_final)
+                fresh = jax.vmap(lambda s, m, ss, k: start(s, m, ss, k))(
+                    state, mm, ss_next, keys_tbl[ti2, chain_ids]
+                )
+                tc = sel(done & (t < K), fresh, tc)
+                return (t, tc, state, da, wf, mm, ss_final, bufs)
+
+            init = (jnp.zeros((nc,), i32), tc0, state0, da0, wf0, mm0, ssf0, bufs0)
+            _, _, state_e, da_e, wf_e, mm_e, ssf_e, bufs_e = jax.lax.while_loop(cond, body, init)
+            out = {k: jnp.moveaxis(v[:, :K], 0, 1) for k, v in bufs_e.items()}
+            return (state_e, da_e, wf_e, mm_e, ssf_e, key_end), out
+
+        return jax.jit(init_fn), jax.jit(async_scan_fn if use_async else scan_fn)
 
     def _get_compiled(self, model_args, model_kwargs, resume):
         """(Re)build the potential fn + jitted programs unless the cached ones
@@ -335,9 +453,10 @@ class MCMC:
         treedef = jax.tree.structure((model_args, model_kwargs))
         nc = 1 if self.chain_method == "sequential" else self.num_chains
         find_ss0 = getattr(self.kernel, "adapt_step_size", True) and not resume
+        use_async = self._resolve_scheduler(nc)
         key = (id(self.kernel.model), treedef, leaf_ids, shapes, nc, find_ss0,
                getattr(self.kernel, "dense_mass", False), self.collective_adaptation,
-               self.chain_groups)
+               self.chain_groups, use_async)
         if self._cache_key != key:
             self._cache_leaves = leaves  # hold refs so leaf ids stay unique
             potential_fn, unravel, transforms, flat_proto = self._setup(model_args, model_kwargs)
@@ -362,10 +481,38 @@ class MCMC:
                 return pf
 
             self._pf_from, self._pf_consts = pf_from, consts
-            init_fn, scan_fn = self._build_programs(pf_from, dim, dtype, nc, find_ss0)
+            init_fn, scan_fn = self._build_programs(pf_from, dim, dtype, nc, find_ss0, use_async)
             self._compiled = (pf_from(consts), unravel, transforms, flat_proto, init_fn, scan_fn)
             self._cache_key = key
         return self._compiled
+
+    def _resolve_scheduler(self, nc):
+        """True -> the continuous-batching (async) chain scheduler.
+
+        ``auto`` uses it whenever it is a pure drop-in: a tree-based kernel
+        (NUTS), plain vectorized chains on one device, per-chain adaptation.
+        The async engine replays the sync scan's key schedule and per-chain
+        update order exactly -- samples are bit-identical with a diagonal
+        mass matrix and ULP-equivalent with dense mass (the batched Cholesky
+        fuses differently); it only reschedules leapfrog work so chains never
+        idle on the batch's deepest tree (tests/infer/test_async_scheduler.py).
+        """
+        if self.chain_scheduler == "sync":
+            return False
+        if self.chain_scheduler == "async":
+            if not hasattr(self.kernel, "make_tree_ops"):
+                raise ValueError("chain_scheduler='async' needs a kernel exposing make_tree_ops (NUTS)")
+            if self.chain_method == "sequential":
+                raise ValueError("chain_scheduler='async' needs a batched chain axis")
+            return True
+        return (
+            hasattr(self.kernel, "make_tree_ops")
+            and not self.collective_adaptation
+            and self.chain_method == "vectorized"
+            and self.mesh is None
+            and self.chain_groups <= 1
+            and nc > 1
+        )
 
     def _schedule_arrays(self, num_warmup, total, adapt_mm):
         """Per-step flag arrays for the fused scan: (is_warmup, in_slow,

@@ -37,6 +37,7 @@ law); only the program structure and the RNG stream differ.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -49,7 +50,8 @@ from .hmc_util import leapfrog
 from .hmc_util import sample_momentum
 from .hmc_util import velocity
 
-__all__ = ["NUTS", "NUTSState", "nuts_init", "nuts_transition"]
+__all__ = ["NUTS", "NUTSState", "TreeCarry", "nuts_init", "nuts_transition",
+           "tree_start", "tree_active", "tree_step", "tree_finish"]
 
 
 class NUTSState(NamedTuple):
@@ -100,6 +102,7 @@ def _iterative_turning_check(mm, r, r_sum, r_ckpts, r_sum_ckpts, idx_min, idx_ma
     return jnp.any(turning & (slots >= idx_min) & (slots <= idx_max))
 
 
+@lru_cache(maxsize=None)
 def _schedule_tables(max_depth):
     """Static per-iteration schedule of the flat tree loop (numpy, computed
     once per ``max_depth`` at trace time).
@@ -129,21 +132,42 @@ def _schedule_tables(max_depth):
     return depth, idx_min, idx_max, is_even, complete
 
 
-def nuts_transition(
-    potential_fn,
-    state: NUTSState,
-    mm: MassMatrix,
-    step_size,
-    key,
-    max_tree_depth=10,
-    max_delta_energy=1000.0,
-):
-    """One NUTS transition for a single chain (vmap over chains upstream)."""
-    step_fn = leapfrog(potential_fn)
+class TreeCarry(NamedTuple):
+    """State of one in-flight flat-tree transition.
+
+    The whole NUTS transition is a pure state machine over this carry:
+    :func:`tree_start` -> repeat :func:`tree_step` while :func:`tree_active`
+    -> :func:`tree_finish`.  :func:`nuts_transition` drives it with a single
+    ``while_loop`` (the sync path); the continuous-batching chain scheduler
+    (infer/mcmc.py) interleaves many carries at one leapfrog per round so
+    chains never wait on the batch's deepest tree.
+    """
+
+    i: jax.Array  # flat iteration index
+    turning: jax.Array  # bool
+    diverging: jax.Array  # bool
+    vecs: jax.Array  # (15, dim) packed vector state
+    scal: jax.Array  # (5,) packed scalar state
+    ckpts: jax.Array  # (2, md, dim) U-turn checkpoints
+    const_f: jax.Array  # (total, 4) pre-generated per-transition randomness
+    h0: jax.Array  # initial Hamiltonian
+    step_size: jax.Array  # per-transition step size
+
+
+def _const_i_table(md):
+    _, idx_min_tab, idx_max_tab, even_tab, complete_tab = _schedule_tables(md)
+    return jnp.asarray(
+        np.stack([idx_min_tab, idx_max_tab, even_tab, complete_tab], axis=1), jnp.int32
+    )  # (total, 4)
+
+
+def tree_start(state: NUTSState, mm: MassMatrix, step_size, key, max_tree_depth) -> TreeCarry:
+    """Sample momentum, pre-generate the transition's randomness, and pack
+    the initial tree state."""
     dtype = state.z.dtype
     md = int(max_tree_depth)
     total = (1 << md) - 1
-    depth_tab, idx_min_tab, idx_max_tab, even_tab, complete_tab = _schedule_tables(md)
+    depth_tab = _schedule_tables(md)[0]
 
     key_mom, key_dirs, key_mult, key_merge = jax.random.split(key, 4)
     r0 = sample_momentum(mm, key_mom, state.z)
@@ -164,9 +188,6 @@ def nuts_transition(
             dirs[depth_tab + 1],  # direction of the NEXT subtree
         ],
         axis=1,
-    )  # (total, 4)
-    const_i = jnp.asarray(
-        np.stack([idx_min_tab, idx_max_tab, even_tab, complete_tab], axis=1), jnp.int32
     )  # (total, 4)
 
     zeros = jnp.zeros_like(r0)
@@ -191,124 +212,179 @@ def nuts_transition(
         ]
     )
     ckpts0 = jnp.zeros((2, md) + state.z.shape, dtype)  # [r, r_sum] checkpoints
-
-    def cond(carry):
-        i, turning, diverging, _, _, _ = carry
-        return (i < total) & ~turning & ~diverging
-
-    def body(carry):
-        i, _, _, vecs, scal, ckpts = carry
-        f = const_f[i]
-        c = const_i[i]
-        direction, log_u, log_u_m, next_dir = f[0], f[1], f[2], f[3]
-        idx_min, idx_max = c[0], c[1]
-        is_even = c[2] == 1
-        complete = c[3] == 1
-
-        # one leapfrog step from the subtree's moving edge
-        z, r, pe, grad = step_fn(vecs[_S_Z], vecs[_S_R], vecs[_S_G], direction * step_size, mm)
-        h = pe + kinetic_energy(mm, r)
-        delta = h - h0
-        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
-        diverging = delta > max_delta_energy
-        leaf_logw = -delta  # multinomial weight: exp(h0 - h)
-        accept = jnp.minimum(1.0, jnp.exp(-delta))
-
-        # progressive multinomial proposal within the subtree
-        sub_logw = jnp.logaddexp(scal[_S_LOGW], leaf_logw)
-        take = log_u < leaf_logw - sub_logw
-        sub_r_sum = vecs[_S_RSUM] + r
-
-        # checkpointed U-turn bookkeeping: even leaves store, odd leaves test
-        r_ck = jnp.where(is_even, ckpts[0].at[idx_max].set(r), ckpts[0])
-        rs_ck = jnp.where(is_even, ckpts[1].at[idx_max].set(sub_r_sum), ckpts[1])
-        sub_turn = jnp.where(
-            is_even | diverging,
-            jnp.zeros((), bool),
-            _iterative_turning_check(mm, r, sub_r_sum, r_ck, rs_ck, idx_min, idx_max),
-        )
-
-        invalid = sub_turn | diverging
-        merge = complete & ~invalid
-
-        # merged tree edges (the subtree's far edge replaces the directional
-        # tree edge); computed unconditionally, selected by `merge` below
-        go_right = direction > 0
-        zl = jnp.where(go_right, vecs[_Z_L], z)
-        rl = jnp.where(go_right, vecs[_R_L], r)
-        gl = jnp.where(go_right, vecs[_G_L], grad)
-        zr = jnp.where(go_right, z, vecs[_Z_R])
-        rr = jnp.where(go_right, r, vecs[_R_R])
-        gr = jnp.where(go_right, grad, vecs[_G_R])
-        r_sum_m = vecs[_R_SUM] + sub_r_sum
-        turn_full = _is_turning(mm, rl, rr, r_sum_m)
-
-        # biased progressive sampling across the doubling (Stan): favor new
-        take_m = merge & (log_u_m < sub_logw - scal[_LOGW])
-
-        # subtree proposal, then tree proposal on merge
-        s_zp = jnp.where(take, z, vecs[_S_ZP])
-        s_gp = jnp.where(take, grad, vecs[_S_GP])
-        s_pep = jnp.where(take, pe, scal[_S_PE_P])
-        next_right = next_dir > 0
-
-        new_vecs = jnp.stack(
-            [
-                jnp.where(merge, zl, vecs[_Z_L]),
-                jnp.where(merge, rl, vecs[_R_L]),
-                jnp.where(merge, gl, vecs[_G_L]),
-                jnp.where(merge, zr, vecs[_Z_R]),
-                jnp.where(merge, rr, vecs[_R_R]),
-                jnp.where(merge, gr, vecs[_G_R]),
-                jnp.where(take_m, s_zp, vecs[_Z_P]),
-                jnp.where(take_m, s_gp, vecs[_G_P]),
-                jnp.where(merge, r_sum_m, vecs[_R_SUM]),
-                # next subtree's moving edge: the merged tree edge in the
-                # next doubling's direction (mid-subtree: this leaf)
-                jnp.where(merge, jnp.where(next_right, zr, zl), z),
-                jnp.where(merge, jnp.where(next_right, rr, rl), r),
-                jnp.where(merge, jnp.where(next_right, gr, gl), grad),
-                s_zp,
-                s_gp,
-                jnp.where(merge, zeros, sub_r_sum),
-            ]
-        )
-        new_scal = jnp.stack(
-            [
-                jnp.where(merge, jnp.logaddexp(scal[_LOGW], sub_logw), scal[_LOGW]),
-                jnp.where(merge, -jnp.inf, sub_logw),
-                jnp.where(take_m, s_pep, scal[_PE_P]),
-                s_pep,
-                scal[_ACC] + accept,
-            ]
-        )
-        new_ckpts = jnp.stack([r_ck, rs_ck])
-        turning = sub_turn | (merge & turn_full)
-        return i + 1, turning, diverging, new_vecs, new_scal, new_ckpts
-
-    i0 = jnp.zeros((), jnp.int32)
     flag0 = jnp.zeros((), bool)
-    i_end, turning, diverging, vecs, scal, _ = jax.lax.while_loop(
-        cond, body, (i0, flag0, flag0, vecs0, scal0, ckpts0)
+    return TreeCarry(
+        i=jnp.zeros((), jnp.int32),
+        turning=flag0,
+        diverging=flag0,
+        vecs=vecs0,
+        scal=scal0,
+        ckpts=ckpts0,
+        const_f=const_f,
+        h0=h0,
+        step_size=jnp.asarray(step_size, dtype),
     )
+
+
+def tree_active(carry: TreeCarry, max_tree_depth) -> jax.Array:
+    total = (1 << int(max_tree_depth)) - 1
+    return (carry.i < total) & ~carry.turning & ~carry.diverging
+
+
+def tree_step(potential_fn, mm: MassMatrix, carry: TreeCarry, max_tree_depth, max_delta_energy=1000.0) -> TreeCarry:
+    """One flat tree iteration: one leapfrog + the fused bookkeeping."""
+    step_fn = leapfrog(potential_fn)
+    md = int(max_tree_depth)
+    const_i = _const_i_table(md)
+    i = carry.i
+    vecs, scal, ckpts = carry.vecs, carry.scal, carry.ckpts
+    h0, step_size = carry.h0, carry.step_size
+
+    f = carry.const_f[i]
+    c = const_i[i]
+    direction, log_u, log_u_m, next_dir = f[0], f[1], f[2], f[3]
+    idx_min, idx_max = c[0], c[1]
+    is_even = c[2] == 1
+    complete = c[3] == 1
+
+    # one leapfrog step from the subtree's moving edge
+    z, r, pe, grad = step_fn(vecs[_S_Z], vecs[_S_R], vecs[_S_G], direction * step_size, mm)
+    h = pe + kinetic_energy(mm, r)
+    delta = h - h0
+    delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+    diverging = delta > max_delta_energy
+    leaf_logw = -delta  # multinomial weight: exp(h0 - h)
+    accept = jnp.minimum(1.0, jnp.exp(-delta))
+
+    # progressive multinomial proposal within the subtree
+    sub_logw = jnp.logaddexp(scal[_S_LOGW], leaf_logw)
+    take = log_u < leaf_logw - sub_logw
+    sub_r_sum = vecs[_S_RSUM] + r
+
+    # checkpointed U-turn bookkeeping: even leaves store, odd leaves test
+    r_ck = jnp.where(is_even, ckpts[0].at[idx_max].set(r), ckpts[0])
+    rs_ck = jnp.where(is_even, ckpts[1].at[idx_max].set(sub_r_sum), ckpts[1])
+    sub_turn = jnp.where(
+        is_even | diverging,
+        jnp.zeros((), bool),
+        _iterative_turning_check(mm, r, sub_r_sum, r_ck, rs_ck, idx_min, idx_max),
+    )
+
+    invalid = sub_turn | diverging
+    merge = complete & ~invalid
+
+    # merged tree edges (the subtree's far edge replaces the directional
+    # tree edge); computed unconditionally, selected by `merge` below
+    go_right = direction > 0
+    zl = jnp.where(go_right, vecs[_Z_L], z)
+    rl = jnp.where(go_right, vecs[_R_L], r)
+    gl = jnp.where(go_right, vecs[_G_L], grad)
+    zr = jnp.where(go_right, z, vecs[_Z_R])
+    rr = jnp.where(go_right, r, vecs[_R_R])
+    gr = jnp.where(go_right, grad, vecs[_G_R])
+    r_sum_m = vecs[_R_SUM] + sub_r_sum
+    turn_full = _is_turning(mm, rl, rr, r_sum_m)
+
+    # biased progressive sampling across the doubling (Stan): favor new
+    take_m = merge & (log_u_m < sub_logw - scal[_LOGW])
+
+    # subtree proposal, then tree proposal on merge
+    s_zp = jnp.where(take, z, vecs[_S_ZP])
+    s_gp = jnp.where(take, grad, vecs[_S_GP])
+    s_pep = jnp.where(take, pe, scal[_S_PE_P])
+    next_right = next_dir > 0
+
+    zeros = jnp.zeros_like(r)
+    new_vecs = jnp.stack(
+        [
+            jnp.where(merge, zl, vecs[_Z_L]),
+            jnp.where(merge, rl, vecs[_R_L]),
+            jnp.where(merge, gl, vecs[_G_L]),
+            jnp.where(merge, zr, vecs[_Z_R]),
+            jnp.where(merge, rr, vecs[_R_R]),
+            jnp.where(merge, gr, vecs[_G_R]),
+            jnp.where(take_m, s_zp, vecs[_Z_P]),
+            jnp.where(take_m, s_gp, vecs[_G_P]),
+            jnp.where(merge, r_sum_m, vecs[_R_SUM]),
+            # next subtree's moving edge: the merged tree edge in the
+            # next doubling's direction (mid-subtree: this leaf)
+            jnp.where(merge, jnp.where(next_right, zr, zl), z),
+            jnp.where(merge, jnp.where(next_right, rr, rl), r),
+            jnp.where(merge, jnp.where(next_right, gr, gl), grad),
+            s_zp,
+            s_gp,
+            jnp.where(merge, zeros, sub_r_sum),
+        ]
+    )
+    new_scal = jnp.stack(
+        [
+            jnp.where(merge, jnp.logaddexp(scal[_LOGW], sub_logw), scal[_LOGW]),
+            jnp.where(merge, -jnp.inf, sub_logw),
+            jnp.where(take_m, s_pep, scal[_PE_P]),
+            s_pep,
+            scal[_ACC] + accept,
+        ]
+    )
+    new_ckpts = jnp.stack([r_ck, rs_ck])
+    turning = carry.turning | sub_turn | (merge & turn_full)
+    return TreeCarry(
+        i=i + 1,
+        turning=turning,
+        diverging=carry.diverging | diverging,
+        vecs=new_vecs,
+        scal=new_scal,
+        ckpts=new_ckpts,
+        const_f=carry.const_f,
+        h0=h0,
+        step_size=step_size,
+    )
+
+
+def tree_finish(carry: TreeCarry, max_tree_depth) -> NUTSState:
+    """Read the transition result out of a terminated carry."""
+    md = int(max_tree_depth)
+    depth_tab = _schedule_tables(md)[0]
+    vecs, scal = carry.vecs, carry.scal
+    dtype = vecs.dtype
+    stopped = carry.turning | carry.diverging
 
     # attempted-doubling count for parity with the nested formulation: a
     # mid-subtree stop still counts the doubling it happened in
     depth_of = jnp.asarray(depth_tab, jnp.int32)
-    tree_depth = jnp.where(turning | diverging, depth_of[i_end - 1] + 1, md)
+    tree_depth = jnp.where(stopped, depth_of[carry.i - 1] + 1, md)
 
-    num_steps = i_end
+    num_steps = carry.i
     accept_prob = scal[_ACC] / jnp.maximum(num_steps, 1).astype(dtype)
     return NUTSState(
         z=vecs[_Z_P],
         pe=scal[_PE_P],
         grad=vecs[_G_P],
-        energy=h0,
+        energy=carry.h0,
         accept_prob=accept_prob,
         num_steps=num_steps,
-        diverging=diverging,
+        diverging=carry.diverging,
         tree_depth=tree_depth,
     )
+
+
+def nuts_transition(
+    potential_fn,
+    state: NUTSState,
+    mm: MassMatrix,
+    step_size,
+    key,
+    max_tree_depth=10,
+    max_delta_energy=1000.0,
+):
+    """One NUTS transition for a single chain (vmap over chains upstream)."""
+    md = int(max_tree_depth)
+    carry0 = tree_start(state, mm, step_size, key, md)
+    carry = jax.lax.while_loop(
+        lambda c: tree_active(c, md),
+        lambda c: tree_step(potential_fn, mm, c, md, max_delta_energy),
+        carry0,
+    )
+    return tree_finish(carry, md)
 
 
 def nuts_init(potential_fn, z):
@@ -367,6 +443,27 @@ class NUTS:
             )
 
         return transition
+
+    def make_tree_ops(self, potential_fn):
+        """(start, active, step, finish) closures over the transition state
+        machine -- the seam the continuous-batching chain scheduler drives
+        (one leapfrog per chain per round instead of one whole transition
+        per chain per step)."""
+        md = self.max_tree_depth
+
+        def start(state, mm, step_size, key):
+            return tree_start(state, mm, step_size, key, md)
+
+        def active(carry):
+            return tree_active(carry, md)
+
+        def step(mm, carry):
+            return tree_step(potential_fn, mm, carry, md, self.max_delta_energy)
+
+        def finish(carry):
+            return tree_finish(carry, md)
+
+        return start, active, step, finish
 
     def make_init(self, potential_fn):
         return lambda z: nuts_init(potential_fn, z)

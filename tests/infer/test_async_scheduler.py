@@ -1,0 +1,99 @@
+"""The continuous-batching (async) chain scheduler is a pure reschedule:
+its samples, extra fields, and adaptation results must be BIT-IDENTICAL to
+the sync fused scan (same per-(step, chain) key table, same per-chain update
+order) -- only the wall-clock scheduling of leapfrog work differs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gwinferno_tpu import ppl
+from gwinferno_tpu.infer import MCMC
+from gwinferno_tpu.infer import NUTS
+from gwinferno_tpu.ppl import distributions as dist
+
+
+def funnelish_model():
+    # varying curvature -> strongly varying tree depths across chains/steps,
+    # the regime the async scheduler exists for
+    log_s = ppl.sample("log_s", dist.Normal(0.0, 1.0))
+    ppl.sample("x", dist.Normal(jnp.zeros(4), jnp.exp(0.5 * log_s) * jnp.ones(4)))
+
+
+def _run(scheduler, **kw):
+    mcmc = MCMC(
+        NUTS(funnelish_model, max_tree_depth=6, dense_mass=kw.pop("dense_mass", False)),
+        num_warmup=kw.pop("num_warmup", 120),
+        num_samples=kw.pop("num_samples", 80),
+        num_chains=kw.pop("num_chains", 4),
+        chain_scheduler=scheduler,
+        **kw,
+    )
+    mcmc.run(jax.random.PRNGKey(7))
+    return mcmc
+
+
+def _assert_identical(a, b):
+    sa, sb = a.get_samples(group_by_chain=True), b.get_samples(group_by_chain=True)
+    assert set(sa) == set(sb)
+    for k in sa:
+        np.testing.assert_array_equal(np.asarray(sa[k]), np.asarray(sb[k]), err_msg=k)
+    ea, eb = a.get_extra_fields(), b.get_extra_fields()
+    for k in ("num_steps", "tree_depth", "diverging", "accept_prob", "energy", "potential_energy"):
+        np.testing.assert_array_equal(np.asarray(ea[k]), np.asarray(eb[k]), err_msg=k)
+    np.testing.assert_array_equal(
+        np.asarray(a.post_warmup_state["step_size"]), np.asarray(b.post_warmup_state["step_size"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.post_warmup_state["inverse_mass_matrix"]),
+        np.asarray(b.post_warmup_state["inverse_mass_matrix"]),
+    )
+
+
+def test_async_bitwise_equals_sync():
+    _assert_identical(_run("sync"), _run("async"))
+
+
+def test_async_equals_sync_dense_mass_to_ulp():
+    """Dense mass: the batched Cholesky fuses differently in the two program
+    structures, so XLA rounding differs at the ULP level (measured 2e-16 on
+    the mass matrix); adaptation state must agree to ~ULP and the short
+    sample window to the trajectory amplification of that seed difference."""
+    a, b = _run("sync", dense_mass=True, num_samples=20), _run("async", dense_mass=True, num_samples=20)
+    np.testing.assert_allclose(
+        np.asarray(a.post_warmup_state["inverse_mass_matrix"]),
+        np.asarray(b.post_warmup_state["inverse_mass_matrix"]),
+        rtol=1e-12, atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.post_warmup_state["step_size"]),
+        np.asarray(b.post_warmup_state["step_size"]),
+        rtol=1e-7,
+    )
+    sa, sb = a.get_samples(), b.get_samples()
+    for k in sa:
+        np.testing.assert_allclose(np.asarray(sa[k]), np.asarray(sb[k]), atol=5e-3, err_msg=k)
+
+
+def test_async_bitwise_equals_sync_segmented():
+    """Segmented dispatch (max_steps_per_call) crosses segment seams at
+    arbitrary points of the warmup schedule; the equivalence must survive."""
+    _assert_identical(
+        _run("sync", max_steps_per_call=17), _run("async", max_steps_per_call=17)
+    )
+
+
+def test_auto_resolves_async_for_vectorized_nuts():
+    m = MCMC(NUTS(funnelish_model), num_chains=4)
+    assert m._resolve_scheduler(4) is True
+    m2 = MCMC(NUTS(funnelish_model), num_chains=4, collective_adaptation=True)
+    assert m2._resolve_scheduler(4) is False
+    m3 = MCMC(NUTS(funnelish_model), num_chains=1)
+    assert m3._resolve_scheduler(1) is False
+
+
+def test_async_rejects_collective():
+    with pytest.raises(ValueError):
+        MCMC(NUTS(funnelish_model), num_chains=4, chain_scheduler="async", collective_adaptation=True)
