@@ -48,7 +48,11 @@ def run_powerlawpeak_analysis(model, pedict, injdict, constants, param_names, ar
         )
 
     mcmc = MCMC(
-        NUTS(bound_model),
+        NUTS(
+            bound_model,
+            target_accept_prob=getattr(args, "target_accept", 0.8),
+            max_tree_depth=getattr(args, "max_tree_depth", 10),
+        ),
         num_warmup=args.warmup,
         num_samples=args.samples,
         num_chains=args.chains,
@@ -104,7 +108,11 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
         )
 
     mcmc = MCMC(
-        NUTS(bound_model),
+        NUTS(
+            bound_model,
+            target_accept_prob=getattr(args, "target_accept", 0.8),
+            max_tree_depth=getattr(args, "max_tree_depth", 10),
+        ),
         num_warmup=args.warmup,
         num_samples=args.samples,
         num_chains=args.chains,

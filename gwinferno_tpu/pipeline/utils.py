@@ -60,6 +60,9 @@ def load_base_parser():
     parser.add_argument("--max-steps-per-call", type=int, default=None,
                         help="segment the MCMC into fixed-size device calls (recommended "
                         "~25 on remote-TPU tunnels; long single programs have faulted)")
+    parser.add_argument("--target-accept", type=float, default=0.8,
+                        help="NUTS dual-averaging target acceptance probability")
+    parser.add_argument("--max-tree-depth", type=int, default=10)
     return parser
 
 
