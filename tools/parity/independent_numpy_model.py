@@ -345,6 +345,12 @@ def run_ensemble_parallel(log_post, x0, n_steps=4000, seed=7, a=2.0, progress_ev
     """
     import multiprocessing as mp
 
+    if "fork" not in mp.get_all_start_methods():
+        raise RuntimeError(
+            "run_ensemble_parallel needs a fork start method (workers inherit "
+            "the posterior through the module global); on spawn-only platforms "
+            "use run_ensemble or PARITY_PROCS=1"
+        )
     global _POOL_POST
     _POOL_POST = log_post  # inherited by fork()ed workers
     ctx = mp.get_context("fork")
