@@ -31,6 +31,70 @@ PARAMS = [
 ]
 
 
+def test_smoke_moment_parity_downsampled_catalog(pe_inj_synthetic_file):
+    """Default-suite full-sampling parity (the ~1 h test below is gated):
+    run BOTH samplers fresh on the SAME shrunken problem -- 25 of the 69
+    events, 1500 of the 8000 PE samples -- NUTS here, the independent numpy
+    Goodman-Weare ensemble from tools/parity/.  Both target the identical
+    posterior (no downsampling bias enters the comparison), and every
+    hyperparameter's mean must agree within combined Monte-Carlo error
+    (with a 0.45-sd floor: this is a smoke band for gross sampler/model
+    breakage; the sharp instruments are test_density_parity.py and the
+    bench's strict moment gate on the full problem).  1500 samples keeps
+    min n_eff far above the Nobs=25 likelihood wall.
+    """
+    import sys
+
+    sys.path.insert(0, ROOT)
+    import bench
+    from gwinferno_tpu.models.parametric.parametric import PowerlawRedshiftModel
+    from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict
+    from tools.parity.independent_numpy_model import PARAM_ORDER, IndependentPosterior, run_ensemble
+
+    pedict, injdict, constants, _ = load_pe_and_injections_as_dict(pe_inj_synthetic_file)
+    rng = np.random.default_rng(5)
+    ev = rng.choice(pedict["mass_1"].shape[0], size=25, replace=False)
+    idx = rng.choice(pedict["mass_1"].shape[1], size=1500, replace=False)
+    pedict = {k: np.ascontiguousarray(v[np.ix_(ev, idx)]) for k, v in pedict.items()}
+    constants = dict(constants, nObs=25)
+
+    # --- NUTS on the shrunken catalog
+    z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
+    model = bench.make_model(pedict, injdict, constants, z_model)
+    bench.N_CHAINS = 2
+    mcmc = MCMC(
+        NUTS(model, dense_mass=True, max_tree_depth=6),
+        num_warmup=100, num_samples=150, num_chains=2,
+    )
+    mcmc.run(jax.random.PRNGKey(3), init_params=bench.make_init(3))
+    s = mcmc.get_samples(group_by_chain=True)
+
+    # --- independent ensemble on the same catalog, STARTED FROM NUTS DRAWS:
+    # if the NUTS posterior is correct this is an equilibrium start (no
+    # burn-in bias at all) and the ensemble must stay put to within MC error;
+    # if NUTS were biased, the independently-implemented posterior pulls the
+    # walkers away and the means separate.
+    post = IndependentPosterior(pedict, injdict, constants)
+    flat = {k: np.asarray(v).reshape(-1) for k, v in s.items()}
+    pick = rng.choice(len(flat[PARAM_ORDER[0]]), size=24, replace=False)
+    x0 = np.column_stack([flat[k][pick] for k in PARAM_ORDER])
+    chain, acc = run_ensemble(post, x0, n_walkers=24, n_steps=400)
+    assert acc > 0.05, f"ensemble acceptance collapsed: {acc}"
+    kept = chain[100:]  # (steps, walkers, dim)
+
+    for i, name in enumerate(PARAM_ORDER):
+        ours = np.asarray(s[name])
+        ref = kept[:, :, i]
+        our_se = ours.std() / np.sqrt(max(effective_sample_size(ours), 4.0))
+        ref_se = ref.std() / np.sqrt(max(effective_sample_size(ref.T), 4.0))
+        tol = max(6.0 * np.hypot(our_se, ref_se), 0.3 * ref.std())
+        diff = abs(ours.mean() - ref.mean())
+        assert diff < tol, (
+            f"{name}: NUTS mean {ours.mean():.4f} vs independent ensemble started "
+            f"from the NUTS draws {ref.mean():.4f} (diff {diff:.4f} > tol {tol:.4f})"
+        )
+
+
 @pytest.mark.skipif(not os.path.exists(BASELINE), reason="run tools/parity/make_parity_baseline.py first")
 @pytest.mark.skipif(
     os.environ.get("GWINF_SLOW_TESTS") != "1",
