@@ -170,3 +170,31 @@ def test_short_nuts_run(data):
     det = mcmc.get_deterministic(site_names={"rate", "log_nEff_inj", "detection_efficiency"})
     assert np.all(np.isfinite(np.asarray(det["rate"])))
     assert np.all(np.asarray(det["detection_efficiency"]) > 0)
+
+
+def test_categorical_subpopulations_draw_per_event_assignments():
+    """categorical=True mixes two weight banks through latent per-event
+    assignments Qs (reference analysis.py:248-252). The Qs site must carry
+    ONE assignment PER EVENT -- the plate contract; a scalar draw broadcast
+    over events silently collapses the mixture."""
+    E, S = 8, 40
+    rng = np.random.default_rng(0)
+    pe = [jnp.asarray(rng.uniform(0.5, 1.5, (E, S))), jnp.asarray(rng.uniform(0.5, 1.5, (E, S)))]
+    inj = jnp.asarray(rng.uniform(0.5, 1.5, 300))
+
+    def m():
+        hierarchical_likelihood(
+            pe, inj, total_inj=1000.0, Nobs=E, Tobs=1.0,
+            surveyed_hypervolume=jnp.asarray(1e9), categorical=True,
+            pop_frac=[0.5, 0.5], rngkey=jax.random.PRNGKey(4),
+            reconstruct_rate=True, min_neff_cut=False,
+            posterior_predictive_check=False, log=False,
+        )
+
+    with ppl.trace() as tr, ppl.seed(rng_seed=0):
+        m()
+    qs = np.asarray(tr.trace["Qs"]["value"])
+    assert qs.shape == (E,)
+    assert set(np.unique(qs)) <= {0, 1}
+    assert len(np.unique(qs)) == 2  # both subpopulations actually drawn
+    assert np.isfinite(float(tr.trace["log_l"]["value"]))

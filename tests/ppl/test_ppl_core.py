@@ -199,3 +199,50 @@ def test_sample_shape():
     with ppl.trace() as tr, ppl.seed(rng_seed=0):
         m()
     assert tr.trace["c"]["value"].shape == (11,)
+
+
+def test_plate_draws_one_copy_per_element():
+    """A drawn site inside plate(N) gets N iid values (the reference's
+    latent categorical subpopulation pattern, analysis.py:248-252)."""
+    def m():
+        with ppl.plate("n", 7):
+            ppl.sample("q", dist.Categorical(probs=jnp.array([0.5, 0.5])), rng_key=jax.random.PRNGKey(3))
+            ppl.sample("x", dist.Normal(0.0, 1.0))
+
+    with ppl.trace() as tr, ppl.seed(rng_seed=0):
+        m()
+    q = np.asarray(tr.trace["q"]["value"])
+    x = np.asarray(tr.trace["x"]["value"])
+    assert q.shape == (7,) and x.shape == (7,)
+    # iid copies, not one broadcast value
+    assert len(np.unique(x)) > 1
+
+
+def test_plate_batched_dist_not_reexpanded():
+    def m():
+        with ppl.plate("n", 5):
+            ppl.sample("x", dist.Normal(jnp.zeros(5), jnp.ones(5)))
+
+    with ppl.trace() as tr, ppl.seed(rng_seed=0):
+        m()
+    assert tr.trace["x"]["value"].shape == (5,)
+
+
+def test_plate_shape_mismatch_raises():
+    def m():
+        with ppl.plate("n", 5):
+            ppl.sample("x", dist.Normal(jnp.zeros(3), jnp.ones(3)))
+
+    with pytest.raises(ValueError, match="plate"):
+        with ppl.trace(), ppl.seed(rng_seed=0):
+            m()
+
+
+def test_nested_plates_raise():
+    def m():
+        with ppl.plate("a", 3), ppl.plate("b", 4):
+            ppl.sample("x", dist.Normal(0.0, 1.0))
+
+    with pytest.raises(NotImplementedError, match="nested"):
+        with ppl.trace(), ppl.seed(rng_seed=0):
+            m()
