@@ -59,6 +59,7 @@ def run_powerlawpeak_analysis(model, pedict, injdict, constants, param_names, ar
         thinning=args.thinning,
         progress_bar=True,
         max_steps_per_call=getattr(args, "max_steps_per_call", None),
+        chain_scheduler=getattr(args, "chain_scheduler", "auto"),
     )
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()
@@ -119,6 +120,7 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
         thinning=args.thinning,
         progress_bar=True,
         max_steps_per_call=getattr(args, "max_steps_per_call", None),
+        chain_scheduler=getattr(args, "chain_scheduler", "auto"),
     )
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()

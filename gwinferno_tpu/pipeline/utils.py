@@ -63,6 +63,9 @@ def load_base_parser():
     parser.add_argument("--target-accept", type=float, default=0.8,
                         help="NUTS dual-averaging target acceptance probability")
     parser.add_argument("--max-tree-depth", type=int, default=10)
+    parser.add_argument("--chain-scheduler", type=str, default="auto",
+                        choices=["auto", "sync", "async"],
+                        help="MCMC chain scheduler (auto = continuous batching when eligible)")
     return parser
 
 
