@@ -69,6 +69,7 @@ def run_one(model, n_chains, groups):
         num_samples=SAMPLES,
         num_chains=n_chains,
         chain_groups=groups,
+        chain_scheduler=os.environ.get("SCALE_SCHEDULER", "auto"),
         chain_method="parallel" if MESH_MODE else "vectorized",
         collective_adaptation=MESH_MODE,
         progress_bar=True,
@@ -91,6 +92,7 @@ def run_one(model, n_chains, groups):
     return {
         "num_chains": n_chains,
         "chain_groups": groups,
+        "scheduler": "async" if mcmc._resolve_scheduler(n_chains) else "sync",
         "wall_s": round(wall, 2),
         "compile_plus_first_run_s": round(compile_plus_first, 1),
         "min_ess": round(min_ess, 1),

@@ -53,6 +53,10 @@ def main():
         "--run-label", "bspline_production",
         "--rngkey", "1",
         "--target-accept", os.environ.get("BSPLINE_TARGET_ACCEPT", "0.9"),
+        # sync: the async scheduler + fused Pallas likelihood combination has
+        # hung/faulted on the remote-TPU tunnel (3/3 attempts); the lockstep
+        # scan is proven at this config (docs/bspline_r3)
+        "--chain-scheduler", os.environ.get("BSPLINE_SCHEDULER", "sync"),
     ]
     if os.environ.get("BSPLINE_FUSED", "1") == "1":
         argv.append("--fused")
