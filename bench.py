@@ -306,15 +306,12 @@ def main():
             mean, sd = float(flat[k].mean()), float(flat[k].std())
             se = (sd**2 / max(ess[k], 1.0) + m["mc_se"] ** 2) ** 0.5
             parity_z[k] = round(abs(mean - m["mean"]) / max(se, 1e-12), 2)
-            # tolerance = 5 sigma of combined MC error OR 0.75 posterior sd:
-            # the committed ensemble baseline is a short (700-step) run whose
-            # residual burn-in bias on weakly-identified sites (~0.5 sd)
-            # dominates its nominal mc_se, so the se-only criterion
-            # false-alarms.  EXACT model parity is pinned separately --
-            # pointwise log-density agreement to <1e-4 with the independent
-            # implementation (tests/pipeline/test_density_parity.py); this
-            # check is a sampler-sanity band on top of that.
-            if abs(mean - m["mean"]) >= max(5.0 * se, 0.75 * m["std"]):
+            # STRICT gate: 5 sigma of the combined MC standard error, no
+            # bias floor.  Requires a long-enough ensemble baseline (the
+            # 3000-step regeneration; round 3's 700-step baseline carried
+            # ~0.5 sd of burn-in bias on weakly-identified sites and needed
+            # a 0.75-sd floor that defeated the gate's purpose).
+            if abs(mean - m["mean"]) >= 5.0 * se:
                 parity_fail.append(k)
         if parity_z:
             parity_ok = not parity_fail

@@ -138,12 +138,12 @@ def test_posterior_moments_match_independent_implementation(pe_inj_synthetic_fil
         ref = base["moments"][name]
         ess = max(effective_sample_size(ours), 4.0)
         our_se = ours.std() / np.sqrt(ess)
-        # MC-error band + a 0.75-sd bias floor: the committed ensemble
-        # baseline is a short (700-step) run whose residual burn-in bias on
-        # weakly-identified sites (~0.5 sd) exceeds its nominal mc_se.
-        # EXACT model parity is pinned by test_density_parity.py (pointwise
-        # log-density agreement); this moment check is a sampler-sanity band.
-        tol = max(4.0 * np.hypot(our_se, ref["mc_se"]), 0.75 * ref["std"])
+        # MC-error band with a small floor (the 3000-step regenerated
+        # baseline has negligible burn-in bias; the floor only guards the
+        # case where both ESS estimates are optimistic).  EXACT model parity
+        # is pinned by test_density_parity.py (pointwise log-density
+        # agreement); this moment check is sampler-statistics parity.
+        tol = max(4.0 * np.hypot(our_se, ref["mc_se"]), 0.2 * ref["std"])
         diff = abs(ours.mean() - ref["mean"])
         report.append(f"{name}: ours={ours.mean():.3f} ref={ref['mean']:.3f} tol={tol:.3f}")
         assert diff < tol, (
