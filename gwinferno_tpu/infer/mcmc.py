@@ -347,8 +347,24 @@ class MCMC:
             adaptation update (dual averaging, Welford, window close,
             step-size capture) fires at the same per-chain step index in the
             same order.
+
+            With ``chain_groups=G`` the round's leapfrogs run as G
+            ``lax.map``-serialized sub-batches of nc/G lanes: on this chip
+            the vmapped likelihood gradient falls off an XLA fusion cliff
+            beyond ~16 chain lanes (docs/chain_scaling.json), so large chain
+            counts want the known-good device-batch tiling while the
+            continuous-batching schedule stays global.  Pure rescheduling of
+            identical per-lane math -- still bit-identical.
             """
             start, active, tstep, finish = kernel.make_tree_ops(pf_from(consts))
+
+            def round_leapfrogs(mm_cur, tc_cur):
+                if groups <= 1:
+                    return jax.vmap(tstep)(mm_cur, tc_cur)
+                gshape = lambda x: x.reshape((groups, nc // groups) + x.shape[1:])  # noqa: E731
+                args_g = jax.tree.map(gshape, (mm_cur, tc_cur))
+                out = jax.lax.map(lambda a: jax.vmap(tstep)(*a), args_g)
+                return jax.tree.map(lambda x: x.reshape((nc,) + x.shape[2:]), out)
             state0, da0, wf0, mm0, ssf0, key0 = carry
             is_warmup, in_slow, window_end, finalize = xs
             K = is_warmup.shape[0]
@@ -387,7 +403,7 @@ class MCMC:
             def body(lc):
                 t, tc, state, da, wf, mm, ss_final, bufs = lc
                 running = t < K
-                stepped = jax.vmap(tstep)(mm, tc)
+                stepped = round_leapfrogs(mm, tc)
                 tc = sel(running, stepped, tc)
                 done = running & ~jax.vmap(active)(tc)
                 state = sel(done, jax.vmap(finish)(tc), state)
@@ -510,7 +526,6 @@ class MCMC:
             and not self.collective_adaptation
             and self.chain_method == "vectorized"
             and self.mesh is None
-            and self.chain_groups <= 1
             and nc > 1
         )
 

@@ -97,3 +97,31 @@ def test_auto_resolves_async_for_vectorized_nuts():
 def test_async_rejects_collective():
     with pytest.raises(ValueError):
         MCMC(NUTS(funnelish_model), num_chains=4, chain_scheduler="async", collective_adaptation=True)
+
+
+def test_async_grouped_leapfrogs_statistics():
+    """chain_groups under the async scheduler re-tiles the round's leapfrog
+    batch (lax.map over sub-batches) for the >16-lane fusion cliff
+    (docs/chain_scaling.json).  XLA accumulates the re-tiled reductions in a
+    different order, and warmup amplifies that rounding into macroscopically
+    different (but equally valid) adaptation -- so the pin here is
+    statistical correctness + determinism, not numeric identity."""
+
+    def run_grouped():
+        m = MCMC(
+            NUTS(lambda: ppl.sample("x", dist.Normal(jnp.zeros(3), jnp.ones(3))), max_tree_depth=6),
+            num_warmup=250, num_samples=400, num_chains=4,
+            chain_scheduler="async", chain_groups=2,
+        )
+        m.run(jax.random.PRNGKey(11))
+        return m
+
+    m = run_grouped()
+    x = np.asarray(m.get_samples()["x"])
+    assert np.all(np.abs(x.mean(0)) < 0.15)
+    assert np.all(np.abs(x.std(0) - 1.0) < 0.15)
+    assert int(np.asarray(m.get_extra_fields()["diverging"]).sum()) == 0
+    # same config, same seed -> identical draws (the grouped program is
+    # deterministic even though it differs from the flat tiling)
+    m2 = run_grouped()
+    np.testing.assert_array_equal(x, np.asarray(m2.get_samples()["x"]))
