@@ -353,8 +353,13 @@ class MCMC:
             the vmapped likelihood gradient falls off an XLA fusion cliff
             beyond ~16 chain lanes (docs/chain_scaling.json), so large chain
             counts want the known-good device-batch tiling while the
-            continuous-batching schedule stays global.  Pure rescheduling of
-            identical per-lane math -- still bit-identical.
+            continuous-batching schedule stays global.  The per-lane math is
+            identical, but XLA re-tiles the fused reductions for the smaller
+            sub-batch, so floating-point reduction order -- and therefore the
+            realized sample stream -- can differ macroscopically (though
+            validly) from the flat ``chain_groups=1`` tiling; see
+            tests/infer/test_async_scheduler.py::
+            test_async_grouped_leapfrogs_statistics.
             """
             start, active, tstep, finish = kernel.make_tree_ops(pf_from(consts))
 
@@ -518,8 +523,12 @@ class MCMC:
         if self.chain_scheduler == "async":
             if not hasattr(self.kernel, "make_tree_ops"):
                 raise ValueError("chain_scheduler='async' needs a kernel exposing make_tree_ops (NUTS)")
-            if self.chain_method == "sequential":
-                raise ValueError("chain_scheduler='async' needs a batched chain axis")
+            if self.chain_method != "vectorized":
+                raise ValueError(
+                    "chain_scheduler='async' supports only chain_method='vectorized' "
+                    f"(got {self.chain_method!r}); use chain_scheduler='sync' for "
+                    "sequential/parallel chain dispatch"
+                )
             return True
         return (
             hasattr(self.kernel, "make_tree_ops")

@@ -300,7 +300,10 @@ def _plan_hyperpriors(prior_dict):
     into the traced model)."""
     sites, pinned = [], {}
     for name, spec in prior_dict.items():
-        if isinstance(spec, PopPrior):
+        if isinstance(spec, PopPrior) or (hasattr(spec, "dist") and hasattr(spec, "params")):
+            # duck-typed like the reference (any object carrying .dist/.params
+            # is a prior spec) so hand-built prior dicts sample rather than
+            # being silently pinned as constants
             sites.append((name, spec.dist, spec.params))
         else:
             pinned[name] = spec
@@ -315,7 +318,11 @@ def _plan_population_builders(model_dict, z_grid):
     builders themselves only do dict lookups and constructor calls.  String
     blocks are iid aliases: the parser records ``models[shared] = source``
     (parser.py:add_iid_model), so the alias key reuses the model built for
-    the block it points at.
+    the block it points at.  Parity note: the reference's literal iid code
+    assigns in the broken direction (``pop_models[source] =
+    pop_models[alias]``, i.e. None over the built model -- it would crash at
+    evaluation, ref gwinferno/pipeline/analysis.py:412-414); the intended
+    semantics ``dists[alias] = dists[source]`` are implemented here.
     """
     builders, aliases = [], []
     for param, spec in model_dict.items():
