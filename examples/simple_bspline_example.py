@@ -39,22 +39,24 @@ from utils import run_bspline_analysis  # noqa: E402
 from utils import setup_result_dir  # noqa: E402
 
 
-def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names, fused_lik=None):
+def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names, fused_lik=None, reparam="centered"):
     """B-spline mass/ratio/spins/redshift model (parity: reference
     examples/simple_bspline_example.py:25-89).
 
     With ``fused_lik`` (a FusedBSplineLikelihood) the weight products and
     per-event/injection reductions run as ONE fused Pallas MXU pass instead
-    of materializing the weight banks."""
+    of materializing the weight banks.  ``reparam="whitened"`` samples the
+    coefficient blocks non-centered through the smoothing-prior Cholesky
+    (identical prior, isotropic geometry; see pipeline.utils._coef_block)."""
     n_m = mass_models.primary_model.n_splines
     n_q = mass_models.ratio_model.n_splines
     n_a = mag_model.primary_model.n_splines
     n_ct = tilt_model.primary_model.n_splines
     n_z = z_model.n_splines
 
-    mass_cs, q_cs = bspline_mass_prior(m_nsplines=n_m, q_nsplines=n_q, m_tau=1, q_tau=1)
-    a_cs, tilt_cs = bspline_spin_prior(a_nsplines=n_a, ct_nsplines=n_ct, a_tau=25, ct_tau=25, IID=True)
-    z_cs = bspline_redshift_prior(z_nsplines=n_z, z_tau=1)
+    mass_cs, q_cs = bspline_mass_prior(m_nsplines=n_m, q_nsplines=n_q, m_tau=1, q_tau=1, reparam=reparam)
+    a_cs, tilt_cs = bspline_spin_prior(a_nsplines=n_a, ct_nsplines=n_ct, a_tau=25, ct_tau=25, IID=True, reparam=reparam)
+    z_cs = bspline_redshift_prior(z_nsplines=n_z, z_tau=1, reparam=reparam)
     lamb = ppl.sample("lamb", dist.Normal(0, 3))
 
     if fused_lik is not None:

@@ -106,6 +106,7 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
             args.mmax,
             param_names,
             fused_lik=fused_lik,
+            reparam=getattr(args, "reparam", "centered"),
         )
 
     mcmc = MCMC(
@@ -125,6 +126,12 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
     mcmc.run(jax.random.PRNGKey(args.rngkey))
     mcmc.print_summary()
     posterior = {k: v for k, v in mcmc.get_samples().items()}
-    posterior.update(mcmc.get_deterministic(site_names={"rate", "surveyed_hypervolume", "detection_efficiency"}))
+    # coefficient names are deterministic sites under --reparam whitened
+    # (sample sites otherwise, where the extra names are simply absent)
+    posterior.update(mcmc.get_deterministic(site_names={
+        "rate", "surveyed_hypervolume", "detection_efficiency",
+        "mass_cs", "q_cs", "a_cs", "tilt_cs", "z_cs",
+        "a1_cs", "a2_cs", "tilt1_cs", "tilt2_cs",
+    }))
     models["_mcmc"] = mcmc  # run metadata (ESS/r_hat/divergences) for perf tooling
     return posterior, models

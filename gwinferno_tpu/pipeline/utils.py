@@ -15,8 +15,11 @@ from argparse import ArgumentParser
 import jax.numpy as jnp
 import numpy as np
 
+from jax.scipy.linalg import solve_triangular
+
 from .. import ppl
 from ..models.bsplines.smoothing import apply_difference_prior
+from ..models.bsplines.smoothing import prior_precision_cholesky
 from ..ppl import distributions as dist
 from ..utils.dataset import DataArray
 from ..utils.dataset import Dataset
@@ -66,6 +69,12 @@ def load_base_parser():
     parser.add_argument("--chain-scheduler", type=str, default="auto",
                         choices=["auto", "sync", "async"],
                         help="MCMC chain scheduler (auto = continuous batching when eligible)")
+    parser.add_argument("--reparam", type=str, default="centered",
+                        choices=["centered", "whitened"],
+                        help="B-spline coefficient-prior parameterization: 'centered' is the "
+                        "reference's (iid Normal sites + smoothing factors); 'whitened' samples "
+                        "standard normals and maps through the prior-precision Cholesky -- "
+                        "identical prior, isotropic sampling geometry (recommended)")
     return parser
 
 
@@ -172,19 +181,49 @@ def setup_powerlaw_spline_redshift_model(pedict, injdict, nsplines_z):
 
 # ------------------------------------------------------------- prior builders
 
-def bspline_mass_prior(m_nsplines=None, q_nsplines=None, m_tau=1, q_tau=1, name=None, m_cs_sig=15, q_cs_sig=5, m_deg=1, q_deg=1):
+def _coef_block(site, factor_site, n, sig, tau, degree, reparam, pin_first=False):
+    """One B-spline coefficient block under either parameterization.
+
+    centered (reference parity): iid ``Normal(0, sig)`` site named ``site``
+    plus the difference-penalty ``factor_site``; returns the sampled vector
+    (without the pinned leading zero when ``pin_first``).
+
+    whitened (non-centered): samples ``u ~ N(0, I)`` at ``site + "_white"``
+    and records ``c = L^{-T} u`` as the deterministic site ``site``, where
+    ``L`` is the Cholesky of the combined prior precision
+    ``I/sig^2 + tau D^T D`` (prior_precision_cholesky).  The implied prior on
+    ``c`` is EXACTLY the centered one (tested to a constant in
+    tests/models/test_whitened_reparam.py); the sampled geometry is isotropic,
+    which is what a diagonal mass matrix can actually precondition.
+    """
+    if reparam == "whitened":
+        L = prior_precision_cholesky(n, sig, tau, degree=degree, drop_first=pin_first)
+        u = ppl.sample(site + "_white", dist.Normal(0.0, 1.0), sample_shape=(L.shape[0],))
+        c = solve_triangular(jnp.asarray(L, dtype=u.dtype), u, lower=True, trans="T")
+        return ppl.deterministic(site, c)
+    if reparam != "centered":
+        raise ValueError(f"unknown reparam {reparam!r}: expected 'centered' or 'whitened'")
+    cs = ppl.sample(site, dist.Normal(0.0, sig), sample_shape=(n - int(pin_first),))
+    padded = jnp.concatenate([jnp.zeros(1, cs.dtype), cs]) if pin_first else cs
+    ppl.factor(factor_site, apply_difference_prior(padded, tau, degree=degree))
+    return cs
+
+
+def bspline_mass_prior(m_nsplines=None, q_nsplines=None, m_tau=1, q_tau=1, name=None, m_cs_sig=15, q_cs_sig=5, m_deg=1, q_deg=1, reparam="centered"):
     """Mass B-spline coefficient priors + P-spline smoothing penalties.
 
     Parity: gwinferno/pipeline/utils.py:161-180 (site names and defaults).
+    ``reparam="whitened"`` swaps in the non-centered parameterization with
+    the identical prior (see _coef_block).
     """
     name = "_" + name if name is not None else ""
     mass_cs = q_cs = None
     if m_nsplines is not None:
-        mass_cs = ppl.sample("mass_cs" + name, dist.Normal(0.0, m_cs_sig), sample_shape=(m_nsplines,))
-        ppl.factor("mass_smoothing_prior" + name, apply_difference_prior(mass_cs, m_tau, degree=m_deg))
+        mass_cs = _coef_block("mass_cs" + name, "mass_smoothing_prior" + name,
+                              m_nsplines, m_cs_sig, m_tau, m_deg, reparam)
     if q_nsplines is not None:
-        q_cs = ppl.sample("q_cs" + name, dist.Normal(0.0, q_cs_sig), sample_shape=(q_nsplines,))
-        ppl.factor("q_smoothing_prior" + name, apply_difference_prior(q_cs, q_tau, degree=q_deg))
+        q_cs = _coef_block("q_cs" + name, "q_smoothing_prior" + name,
+                           q_nsplines, q_cs_sig, q_tau, q_deg, reparam)
     if m_nsplines is not None and q_nsplines is None:
         return mass_cs
     if m_nsplines is None and q_nsplines is not None:
@@ -194,36 +233,37 @@ def bspline_mass_prior(m_nsplines=None, q_nsplines=None, m_tau=1, q_tau=1, name=
     return mass_cs, q_cs
 
 
-def bspline_spin_prior(a_nsplines=None, ct_nsplines=None, a_tau=None, ct_tau=None, name=None, IID=False, a_cs_sig=5, ct_cs_sig=5, a_deg=2, ct_deg=2):
+def bspline_spin_prior(a_nsplines=None, ct_nsplines=None, a_tau=None, ct_tau=None, name=None, IID=False, a_cs_sig=5, ct_cs_sig=5, a_deg=2, ct_deg=2, reparam="centered"):
     """Spin coefficient priors + smoothing (parity: pipeline/utils.py:183-207)."""
     name = "_" + name if name is not None else ""
     if IID:
-        a_cs = ppl.sample("a_cs" + name, dist.Normal(0.0, a_cs_sig), sample_shape=(a_nsplines,))
-        ppl.factor("a_smoothing_prior" + name, apply_difference_prior(a_cs, a_tau, degree=a_deg))
-        ct_cs = ppl.sample("tilt_cs" + name, dist.Normal(0.0, ct_cs_sig), sample_shape=(ct_nsplines,))
-        ppl.factor("ct_smoothing_prior" + name, apply_difference_prior(ct_cs, ct_tau, degree=ct_deg))
+        a_cs = _coef_block("a_cs" + name, "a_smoothing_prior" + name,
+                           a_nsplines, a_cs_sig, a_tau, a_deg, reparam)
+        ct_cs = _coef_block("tilt_cs" + name, "ct_smoothing_prior" + name,
+                            ct_nsplines, ct_cs_sig, ct_tau, ct_deg, reparam)
         return a_cs, ct_cs
-    a1_cs = ppl.sample("a1_cs" + name, dist.Normal(0.0, a_cs_sig), sample_shape=(a_nsplines,))
-    ppl.factor("a1_smoothing_prior" + name, apply_difference_prior(a1_cs, a_tau, degree=a_deg))
-    a2_cs = ppl.sample("a2_cs" + name, dist.Normal(0.0, a_cs_sig), sample_shape=(a_nsplines,))
-    ppl.factor("a2_smoothing_prior" + name, apply_difference_prior(a2_cs, a_tau, degree=a_deg))
-    ct1_cs = ppl.sample("tilt1_cs" + name, dist.Normal(0.0, ct_cs_sig), sample_shape=(ct_nsplines,))
-    ppl.factor("ct1_smoothing_prior" + name, apply_difference_prior(ct1_cs, ct_tau, degree=ct_deg))
-    ct2_cs = ppl.sample("tilt2_cs" + name, dist.Normal(0.0, ct_cs_sig), sample_shape=(ct_nsplines,))
-    ppl.factor("ct2_smoothing_prior" + name, apply_difference_prior(ct2_cs, ct_tau, degree=ct_deg))
+    a1_cs = _coef_block("a1_cs" + name, "a1_smoothing_prior" + name,
+                        a_nsplines, a_cs_sig, a_tau, a_deg, reparam)
+    a2_cs = _coef_block("a2_cs" + name, "a2_smoothing_prior" + name,
+                        a_nsplines, a_cs_sig, a_tau, a_deg, reparam)
+    ct1_cs = _coef_block("tilt1_cs" + name, "ct1_smoothing_prior" + name,
+                         ct_nsplines, ct_cs_sig, ct_tau, ct_deg, reparam)
+    ct2_cs = _coef_block("tilt2_cs" + name, "ct2_smoothing_prior" + name,
+                         ct_nsplines, ct_cs_sig, ct_tau, ct_deg, reparam)
     return a1_cs, ct1_cs, a2_cs, ct2_cs
 
 
-def bspline_redshift_prior(z_nsplines=None, z_tau=None, name=None, z_cs_sig=1, z_deg=2):
+def bspline_redshift_prior(z_nsplines=None, z_tau=None, name=None, z_cs_sig=1, z_deg=2, reparam="centered"):
     """Redshift coefficient prior; first coefficient pinned to 0.
 
-    Parity: gwinferno/pipeline/utils.py:210-215.
+    Parity: gwinferno/pipeline/utils.py:210-215.  The site (and, whitened,
+    the deterministic ``z_cs``) holds the n-1 FREE coefficients; the pinned
+    zero is prepended here and by the PPD calculators.
     """
     name = "_" + name if name is not None else ""
-    z_cs = ppl.sample("z_cs" + name, dist.Normal(0.0, z_cs_sig), sample_shape=(z_nsplines - 1,))
-    z_cs = jnp.concatenate([jnp.zeros(1), z_cs])
-    ppl.factor("z_smoothing_prior" + name, apply_difference_prior(z_cs, z_tau, degree=z_deg))
-    return z_cs
+    z_cs = _coef_block("z_cs" + name, "z_smoothing_prior" + name,
+                       z_nsplines, z_cs_sig, z_tau, z_deg, reparam, pin_first=True)
+    return jnp.concatenate([jnp.zeros(1, z_cs.dtype), z_cs])
 
 
 # ----------------------------------------------------------- result containers
