@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.scipy.integrate import trapezoid
+from jax.scipy.special import logsumexp
 
 from .distributions import safe_log
 from .models.bsplines.smoothing import apply_difference_prior
@@ -205,9 +206,32 @@ class PowerlawRedshift(_TabulatedDensity):
         return jnp.where(value <= self.maximum, lp, jnp.nan_to_num(-jnp.inf))
 
 
+def _log_powerlaw_integral(p, log_lo, log_hi):
+    """``log( (hi^p - lo^p) / p )`` for ``hi > lo``, computed entirely in log
+    space (f32-safe: the linear form overflows float32 for |p log x| >~ 88,
+    which production break/slope priors reach easily) with the analytic
+    ``p -> 0`` limit ``log(log(hi/lo))``.  Double-where keeps gradients
+    finite at the removable singularity."""
+    singular = jnp.abs(p) < 1e-12
+    p_safe = jnp.where(singular, 1.0, p)
+    a, b = p_safe * log_hi, p_safe * log_lo
+    big, small = jnp.maximum(a, b), jnp.minimum(a, b)
+    # |hi^p - lo^p| = e^big (1 - e^(small-big)); the |.|/|p| signs cancel
+    diff = big + jnp.log1p(-jnp.exp(small - big)) - jnp.log(jnp.abs(p_safe))
+    return jnp.where(singular, jnp.log(log_hi - log_lo), diff)
+
+
 class PowerlawSmoothedPowerlaw(Distribution):
     """Three-segment broken powerlaw with continuity constants k1/k2/k3
-    (parity: :204-255, incl. the ones-returning ``sample`` stub)."""
+    (parity: :204-255, incl. the ones-returning ``sample`` stub).
+
+    TPU redesign: the constants are carried in LOG space.  The reference's
+    linear-space ``r_high = maximum**(alpha + alpha_max)`` overflows float32
+    already at production-prior scales (95**22 ~ 1e45 -> inf -> NaN
+    log-density -> every NUTS trajectory flagged divergent); the log forms
+    keep every intermediate O(100).  ``k1/k2/k3`` remain exposed (exp of the
+    log constants) for compatibility.
+    """
 
     def __init__(self, alpha, minimum, maximum, alpha_max, alpha_min, low, high):
         self.minimum, self.maximum, self.alpha = minimum, maximum, alpha
@@ -219,33 +243,43 @@ class PowerlawSmoothedPowerlaw(Distribution):
             )
         )
         self.support = constraints.interval(low, high)
-        # continuity constants k1/k2/k3 with exact normalization:
+        # continuity constants with exact normalization:
         #   I = k1 [ I_low + r_mid I_mid + r_mid r_high I_high ] = 1
         # NB the reference's constants (numpyro_distributions.py:221-235)
         # carry a sign error and integrate to != 1 for rising low slopes;
         # the corrected closed form is used here (its cdf-free structure,
         # segment continuity, and log_prob branch layout are preserved).
-        r_mid = self.minimum ** (self.alpha_min - self.alpha)
-        r_high = self.maximum ** (self.alpha - self.alpha_max)
-        seg_low = (self.minimum ** (self.alpha_min + 1) - self.low ** (self.alpha_min + 1)) / (self.alpha_min + 1)
-        seg_mid = (self.maximum ** (self.alpha + 1) - self.minimum ** (self.alpha + 1)) / (self.alpha + 1)
-        seg_high = (self.high ** (self.alpha_max + 1) - self.maximum ** (self.alpha_max + 1)) / (self.alpha_max + 1)
-        self.k1 = 1.0 / (seg_low + r_mid * seg_mid + r_mid * r_high * seg_high)
-        self.k2 = self.k1 * r_mid
-        self.k3 = self.k2 * r_high
+        log_min, log_max = jnp.log(self.minimum), jnp.log(self.maximum)
+        log_low, log_high = jnp.log(self.low), jnp.log(self.high)
+        log_r_mid = (self.alpha_min - self.alpha) * log_min
+        log_r_high = (self.alpha - self.alpha_max) * log_max
+        log_seg_low = _log_powerlaw_integral(self.alpha_min + 1.0, log_low, log_min)
+        log_seg_mid = _log_powerlaw_integral(self.alpha + 1.0, log_min, log_max)
+        log_seg_high = _log_powerlaw_integral(self.alpha_max + 1.0, log_max, log_high)
+        self.log_k1 = -logsumexp(
+            jnp.stack(jnp.broadcast_arrays(
+                log_seg_low, log_r_mid + log_seg_mid, log_r_mid + log_r_high + log_seg_high
+            )),
+            axis=0,
+        )
+        self.log_k2 = self.log_k1 + log_r_mid
+        self.log_k3 = self.log_k2 + log_r_high
+        self.k1, self.k2, self.k3 = jnp.exp(self.log_k1), jnp.exp(self.log_k2), jnp.exp(self.log_k3)
 
     def sample(self, key, sample_shape=()):
         return jnp.ones(tuple(sample_shape) + self.batch_shape)
 
     def log_prob(self, value):
-        low_pl = jnp.where(jnp.less(value, self.minimum), jnp.log(self.k1) + jnp.log(value) * self.alpha_min, 0.0)
-        high_pl = jnp.where(jnp.greater(value, self.maximum), jnp.log(self.k3) + jnp.log(value) * self.alpha_max, 0.0)
-        mid_pl = jnp.where(
-            jnp.greater_equal(value, self.minimum),
-            jnp.where(jnp.less_equal(value, self.maximum), jnp.log(self.k2) + jnp.log(value) * self.alpha, 0.0),
-            0.0,
+        logx = jnp.log(value)
+        return jnp.where(
+            jnp.less(value, self.minimum),
+            self.log_k1 + self.alpha_min * logx,
+            jnp.where(
+                jnp.greater(value, self.maximum),
+                self.log_k3 + self.alpha_max * logx,
+                self.log_k2 + self.alpha * logx,
+            ),
         )
-        return low_pl + mid_pl + high_pl
 
 
 class BSplineDistribution(_TabulatedDensity):
