@@ -169,7 +169,9 @@ def test_config_driven_potential_energy(pe_inj_file):
     params = {
         "mass_1_alpha": jnp.array(-3.0),
         "mass_1_minimum": jnp.array(4.9),
-        "mass_1_maximum": jnp.array(99.0),
+        "mass_1_maximum": jnp.array(90.0),
+        "mass_1_alpha_min": jnp.array(2.0),
+        "mass_1_alpha_max": jnp.array(10.0),
         "mass_ratio_alpha": jnp.array(1.0),
         "redshift_lamb": jnp.array(2.0),
         "unscaled_rate": jnp.array(30.0),
