@@ -405,12 +405,18 @@ class MCMC:
             def cond(lc):
                 return jnp.any(lc[0] < K)
 
-            def body(lc):
+            def bookkeeping(lc, done):
+                """Everything that happens at a transition boundary: finalize,
+                per-chain adaptation at the chain's own step index, output
+                writes, and the next transition's start.  Runs under a
+                ``cond`` -- on rounds where no chain finished (and the
+                per-round loop is pure leapfrogging) it is skipped whole, so
+                its cost (notably the batched Cholesky behind the inner
+                window-close cond) never rides the hot path.  Exact: with no
+                chain done every masked select is a no-op, the buffer writes
+                land in the discarded K-th spill row, and ``t`` is unchanged.
+                """
                 t, tc, state, da, wf, mm, ss_final, bufs = lc
-                running = t < K
-                stepped = round_leapfrogs(mm, tc)
-                tc = sel(running, stepped, tc)
-                done = running & ~jax.vmap(active)(tc)
                 state = sel(done, jax.vmap(finish)(tc), state)
 
                 ti = jnp.minimum(t, K - 1)
@@ -424,12 +430,19 @@ class MCMC:
                     wf_new = jax.vmap(welford_update)(wf, state.z)
                     wf = sel(done & w_is & w_slow, wf_new, wf)
                     # per-chain window close (the async scheduler is gated to
-                    # non-collective adaptation)
+                    # non-collective adaptation); a second cond keeps the
+                    # covariance + Cholesky off all non-window rounds
                     close = done & w_close
-                    cov = jax.vmap(welford_covariance)(wf)
-                    mm = sel(close, jax.vmap(mass_matrix_from_inverse)(cov), mm)
-                    da = sel(close, jax.vmap(da_init)(jnp.exp(da.log_step)), da)
-                    wf = sel(close, wf_fresh(), wf)
+
+                    def do_close(ops):
+                        wf_, mm_, da_ = ops
+                        cov = jax.vmap(welford_covariance)(wf_)
+                        mm2 = sel(close, jax.vmap(mass_matrix_from_inverse)(cov), mm_)
+                        da2 = sel(close, jax.vmap(da_init)(jnp.exp(da_.log_step)), da_)
+                        wf2 = sel(close, wf_fresh(), wf_)
+                        return (wf2, mm2, da2)
+
+                    wf, mm, da = jax.lax.cond(jnp.any(close), do_close, lambda ops: ops, (wf, mm, da))
 
                 ss_now = jnp.exp(da.log_step_avg) if adapt_ss else tc.step_size
                 ss_final = jnp.where(done & w_fin, ss_now, ss_final)
@@ -457,6 +470,18 @@ class MCMC:
                 )
                 tc = sel(done & (t < K), fresh, tc)
                 return (t, tc, state, da, wf, mm, ss_final, bufs)
+
+            def body(lc):
+                t, tc_in = lc[0], lc[1]
+                mm_cur = lc[5]
+                running = t < K
+                stepped = round_leapfrogs(mm_cur, tc_in)
+                tc = sel(running, stepped, tc_in)
+                done = running & ~jax.vmap(active)(tc)
+                lc = (t, tc) + lc[2:]
+                return jax.lax.cond(
+                    jnp.any(done), lambda c: bookkeeping(c, done), lambda c: c, lc
+                )
 
             init = (jnp.zeros((nc,), i32), tc0, state0, da0, wf0, mm0, ssf0, bufs0)
             _, _, state_e, da_e, wf_e, mm_e, ssf_e, bufs_e = jax.lax.while_loop(cond, body, init)
