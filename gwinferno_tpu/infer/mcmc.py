@@ -101,11 +101,11 @@ class MCMC:
             raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
         if chain_scheduler not in ("auto", "sync", "async"):
             raise ValueError(f"chain_scheduler must be auto/sync/async, got {chain_scheduler!r}")
-        if chain_scheduler == "async" and collective_adaptation:
-            raise ValueError(
-                "chain_scheduler='async' runs chains at unsynchronized transition "
-                "indices; collective adaptation needs lockstep chains (use 'sync')"
-            )
+        # chain_scheduler='async' + collective_adaptation is supported: the
+        # engine barriers at adaptation-window boundaries (pooled Welford
+        # close identical to the lockstep collective engine) and runs
+        # continuous batching between them; step-size dual averaging stays
+        # per-chain (see async_scan_fn)
         if jit_model_args:
             raise ValueError(
                 "jit_model_args=True is not supported: model args are closed over "
@@ -360,6 +360,20 @@ class MCMC:
             validly) from the flat ``chain_groups=1`` tiling; see
             tests/infer/test_async_scheduler.py::
             test_async_grouped_leapfrogs_statistics.
+
+            With ``collective_adaptation=True`` the engine runs continuous
+            batching BETWEEN adaptation-window boundaries and barriers AT
+            them: a chain may not start a transition past the next scheduled
+            window-end step until every chain has completed that step (it
+            parks, ``started=False``); the round the last chain crosses, the
+            pooled (Chan-combined) Welford close runs once for the whole
+            batch and the parked chains launch with the new mass matrix.
+            Mass-matrix adaptation is therefore IDENTICAL to the lockstep
+            collective engine (bit-identical samples with
+            ``adapt_step_size=False`` and diag mass -- tested); step-size
+            dual averaging stays per-chain (each chain updates at its own
+            step index), a documented deviation from the sync collective
+            engine's per-step pooled mean accept.
             """
             start, active, tstep, finish = kernel.make_tree_ops(pf_from(consts))
 
@@ -405,6 +419,14 @@ class MCMC:
             def cond(lc):
                 return jnp.any(lc[0] < K)
 
+            if collective:
+                # scheduled window-end step indices within this segment,
+                # K-padded (K is a static segment length, so the index table
+                # has a static shape); w_ptr walks it as windows close
+                w_ends = jnp.nonzero(window_end, size=K + 1, fill_value=K)[0]
+            else:
+                w_ends = jnp.full((K + 1,), K, i32)
+
             def bookkeeping(lc, done):
                 """Everything that happens at a transition boundary: finalize,
                 per-chain adaptation at the chain's own step index, output
@@ -416,7 +438,7 @@ class MCMC:
                 chain done every masked select is a no-op, the buffer writes
                 land in the discarded K-th spill row, and ``t`` is unchanged.
                 """
-                t, tc, state, da, wf, mm, ss_final, bufs = lc
+                t, tc, started, w_ptr, state, da, wf, mm, ss_final, bufs = lc
                 state = sel(done, jax.vmap(finish)(tc), state)
 
                 ti = jnp.minimum(t, K - 1)
@@ -429,20 +451,20 @@ class MCMC:
                 if adapt_mm:
                     wf_new = jax.vmap(welford_update)(wf, state.z)
                     wf = sel(done & w_is & w_slow, wf_new, wf)
-                    # per-chain window close (the async scheduler is gated to
-                    # non-collective adaptation); a second cond keeps the
-                    # covariance + Cholesky off all non-window rounds
-                    close = done & w_close
+                    if not collective:
+                        # per-chain window close; a second cond keeps the
+                        # covariance + Cholesky off all non-window rounds
+                        close = done & w_close
 
-                    def do_close(ops):
-                        wf_, mm_, da_ = ops
-                        cov = jax.vmap(welford_covariance)(wf_)
-                        mm2 = sel(close, jax.vmap(mass_matrix_from_inverse)(cov), mm_)
-                        da2 = sel(close, jax.vmap(da_init)(jnp.exp(da_.log_step)), da_)
-                        wf2 = sel(close, wf_fresh(), wf_)
-                        return (wf2, mm2, da2)
+                        def do_close(ops):
+                            wf_, mm_, da_ = ops
+                            cov = jax.vmap(welford_covariance)(wf_)
+                            mm2 = sel(close, jax.vmap(mass_matrix_from_inverse)(cov), mm_)
+                            da2 = sel(close, jax.vmap(da_init)(jnp.exp(da_.log_step)), da_)
+                            wf2 = sel(close, wf_fresh(), wf_)
+                            return (wf2, mm2, da2)
 
-                    wf, mm, da = jax.lax.cond(jnp.any(close), do_close, lambda ops: ops, (wf, mm, da))
+                        wf, mm, da = jax.lax.cond(jnp.any(close), do_close, lambda ops: ops, (wf, mm, da))
 
                 ss_now = jnp.exp(da.log_step_avg) if adapt_ss else tc.step_size
                 ss_final = jnp.where(done & w_fin, ss_now, ss_final)
@@ -463,18 +485,34 @@ class MCMC:
                 }
 
                 t = t + done.astype(i32)
+                started = started & ~done
+                if collective and adapt_mm:
+                    # collective window barrier: once EVERY chain has
+                    # completed the pending window-end step, run the pooled
+                    # (Chan-combined) close once for the whole batch
+                    pending = w_ends[w_ptr]
+                    close_now = jnp.all(t > pending) & (pending < K)
+                    wf, mm, da = jax.lax.cond(close_now, window_update, lambda a: a, (wf, mm, da))
+                    w_ptr = w_ptr + close_now.astype(i32)
+                    pending = w_ends[w_ptr]
+                    # a chain may start its next transition only up to (and
+                    # including) the pending boundary step; past it, it parks
+                    eligible = ~started & (t < K) & (t <= pending)
+                else:
+                    eligible = ~started & (t < K)
                 ti2 = jnp.minimum(t, K - 1)
                 ss_next = jnp.where(is_warmup[ti2], jnp.exp(da.log_step), ss_final)
                 fresh = jax.vmap(lambda s, m, ss, k: start(s, m, ss, k))(
                     state, mm, ss_next, keys_tbl[ti2, chain_ids]
                 )
-                tc = sel(done & (t < K), fresh, tc)
-                return (t, tc, state, da, wf, mm, ss_final, bufs)
+                tc = sel(eligible, fresh, tc)
+                started = started | eligible
+                return (t, tc, started, w_ptr, state, da, wf, mm, ss_final, bufs)
 
             def body(lc):
-                t, tc_in = lc[0], lc[1]
-                mm_cur = lc[5]
-                running = t < K
+                t, tc_in, started = lc[0], lc[1], lc[2]
+                mm_cur = lc[7]
+                running = started & (t < K)
                 stepped = round_leapfrogs(mm_cur, tc_in)
                 tc = sel(running, stepped, tc_in)
                 done = running & ~jax.vmap(active)(tc)
@@ -483,8 +521,12 @@ class MCMC:
                     jnp.any(done), lambda c: bookkeeping(c, done), lambda c: c, lc
                 )
 
-            init = (jnp.zeros((nc,), i32), tc0, state0, da0, wf0, mm0, ssf0, bufs0)
-            _, _, state_e, da_e, wf_e, mm_e, ssf_e, bufs_e = jax.lax.while_loop(cond, body, init)
+            init = (
+                jnp.zeros((nc,), i32), tc0, jnp.ones((nc,), bool), jnp.zeros((), i32),
+                state0, da0, wf0, mm0, ssf0, bufs0,
+            )
+            end = jax.lax.while_loop(cond, body, init)
+            _, _, _, _, state_e, da_e, wf_e, mm_e, ssf_e, bufs_e = end
             out = {k: jnp.moveaxis(v[:, :K], 0, 1) for k, v in bufs_e.items()}
             return (state_e, da_e, wf_e, mm_e, ssf_e, key_end), out
 
@@ -548,11 +590,15 @@ class MCMC:
         if self.chain_scheduler == "async":
             if not hasattr(self.kernel, "make_tree_ops"):
                 raise ValueError("chain_scheduler='async' needs a kernel exposing make_tree_ops (NUTS)")
-            if self.chain_method != "vectorized":
+            if self.chain_method == "sequential":
                 raise ValueError(
-                    "chain_scheduler='async' supports only chain_method='vectorized' "
-                    f"(got {self.chain_method!r}); use chain_scheduler='sync' for "
-                    "sequential/parallel chain dispatch"
+                    "chain_scheduler='async' needs a batched chain axis "
+                    "(chain_method='vectorized' or 'parallel')"
+                )
+            if self.chain_groups > 1 and self.mesh is not None:
+                raise ValueError(
+                    "chain_groups > 1 is a single-device tiling knob; with a sharded "
+                    "chain axis the mesh already bounds the per-device batch"
                 )
             return True
         return (

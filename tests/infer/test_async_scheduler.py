@@ -94,9 +94,85 @@ def test_auto_resolves_async_for_vectorized_nuts():
     assert m3._resolve_scheduler(1) is False
 
 
-def test_async_rejects_collective():
+def test_async_rejects_sequential():
+    m = MCMC(NUTS(funnelish_model), num_chains=2, chain_method="sequential", chain_scheduler="async")
     with pytest.raises(ValueError):
-        MCMC(NUTS(funnelish_model), num_chains=4, chain_scheduler="async", collective_adaptation=True)
+        m._resolve_scheduler(2)
+
+
+def test_async_collective_bitwise_equals_sync_when_ss_fixed():
+    """With adapt_step_size=False (and diag mass) the ONLY adaptation is the
+    pooled Welford mass matrix, whose async window-barrier close is designed
+    to be identical to the lockstep collective engine's -- so the full runs
+    must be bit-identical."""
+
+    def run(scheduler):
+        m = MCMC(
+            NUTS(funnelish_model, max_tree_depth=6, adapt_step_size=False, step_size=0.2),
+            num_warmup=120, num_samples=80, num_chains=4,
+            collective_adaptation=True, chain_scheduler=scheduler,
+        )
+        m.run(jax.random.PRNGKey(7))
+        return m
+
+    _assert_identical(run("sync"), run("async"))
+
+
+def test_async_collective_adaptive_ss_statistics():
+    """Full async-collective (adaptive per-chain step size + pooled mass
+    matrix): valid posterior statistics.  Not bit-comparable to the sync
+    collective engine, whose dual averaging pools the per-step mean accept
+    (documented deviation)."""
+    m = MCMC(
+        NUTS(lambda: ppl.sample("x", dist.Normal(jnp.zeros(3), jnp.ones(3))), max_tree_depth=6),
+        num_warmup=250, num_samples=400, num_chains=4,
+        collective_adaptation=True, chain_scheduler="async",
+    )
+    m.run(jax.random.PRNGKey(3))
+    x = np.asarray(m.get_samples()["x"])
+    assert np.all(np.abs(x.mean(0)) < 0.15)
+    assert np.all(np.abs(x.std(0) - 1.0) < 0.15)
+    # the pooled close must leave every chain with the SAME mass matrix
+    mm = np.asarray(m.post_warmup_state["inverse_mass_matrix"])
+    assert np.allclose(mm, mm[:1])
+
+
+def test_async_collective_sharded_matches_unsharded():
+    """Async-collective under a chain-sharded mesh is the SAME program as
+    unsharded -- but partitioned reductions reorder floats and NUTS dynamics
+    amplify single accept/reject boundary flips into macroscopically
+    different (equally valid) draws within ~100 steps, for the sync engine
+    just as much (measured).  The honest invariants: the sharded run
+    completes, every chain carries the SAME pooled mass matrix, and the
+    posterior moments agree within MC error."""
+    from gwinferno_tpu.parallel import create_mesh
+
+    def gauss_model():
+        x = ppl.sample("x", dist.Normal(jnp.zeros(4), jnp.ones(4)))
+        ppl.sample("y", dist.Normal(x.sum(), 1.0), obs=jnp.array(0.5))
+
+    def run(mesh):
+        m = MCMC(
+            NUTS(gauss_model, max_tree_depth=6),
+            num_warmup=300, num_samples=400, num_chains=4,
+            collective_adaptation=True, chain_scheduler="async", mesh=mesh,
+        )
+        m.run(jax.random.PRNGKey(5))
+        return m
+
+    a, b = run(None), run(create_mesh(8, chain_axis_size=4))
+    sa = np.asarray(a.get_samples()["x"])
+    sb = np.asarray(b.get_samples()["x"])
+    np.testing.assert_allclose(sa.mean(0), sb.mean(0), atol=0.12)
+    np.testing.assert_allclose(sa.std(0), sb.std(0), atol=0.12)
+    for m in (a, b):
+        mm = np.asarray(m.post_warmup_state["inverse_mass_matrix"])
+        assert np.allclose(mm, mm[:1])
+    # pooled mass matrices from the two runs estimate the same posterior
+    # covariance diagonal from the same warmup schedule
+    ma = np.asarray(a.post_warmup_state["inverse_mass_matrix"])[0]
+    mb = np.asarray(b.post_warmup_state["inverse_mass_matrix"])[0]
+    np.testing.assert_allclose(ma, mb, rtol=0.5)
 
 
 def test_async_grouped_leapfrogs_statistics():
