@@ -87,20 +87,34 @@ def make_model(pedict, injdict, constants, z_model):
     # cost ~30 s/MB to fetch at jit lowering through the remote-TPU tunnel.
     E, S = pedict["mass_1"].shape
     n_pe = E * S
+    PARAMS7 = ("mass_1", "mass_ratio", "redshift", "a_1", "a_2", "cos_tilt_1", "cos_tilt_2")
 
     def cat(name):
         return np.concatenate([np.asarray(pedict[name]).reshape(-1), np.asarray(injdict[name])])
 
-    bank = {
-        k: cat(k)
-        for k in ("mass_1", "mass_ratio", "redshift", "a_1", "a_2", "cos_tilt_1", "cos_tilt_2")
-    }
+    bank = {k: cat(k) for k in PARAMS7}
     log_prior_all = np.log(cat("prior"))
     # dVc/dz at the concatenated bank (PowerlawRedshiftModel caches per-bank)
     log_dvdz_all = np.log(
         np.concatenate([np.asarray(z_model.dVdzs[1]).reshape(-1), np.asarray(z_model.dVdzs[0])])
     )
     log1p_z_all = np.log1p(bank["redshift"])
+    bank["log_prior"], bank["log_dvdz"], bank["log1pz"] = log_prior_all, log_dvdz_all, log1p_z_all
+
+    # BENCH_SAMPLE_CHUNKS > 1: evaluate the likelihood in sample-axis chunks
+    # (lax.scan + checkpoint, ops/chunked.py) feeding the summaries seam --
+    # bounds the (C, N_bank) gradient intermediates that fall off the XLA
+    # fusion cliff beyond ~16 flat chain lanes (docs/chain_scaling.json)
+    n_chunks = int(os.environ.get("BENCH_SAMPLE_CHUNKS", "1"))
+    if n_chunks > 1:
+        pe2d = {k: np.asarray(pedict[k]) for k in PARAMS7}
+        pe2d["log_prior"] = np.log(np.asarray(pedict["prior"]))
+        pe2d["log_dvdz"] = np.log(np.asarray(z_model.dVdzs[1]))
+        pe2d["log1pz"] = np.log1p(pe2d["redshift"])
+        inj1d = {k: np.asarray(injdict[k]) for k in PARAMS7}
+        inj1d["log_prior"] = np.log(np.asarray(injdict["prior"]))
+        inj1d["log_dvdz"] = np.log(np.asarray(z_model.dVdzs[0]))
+        inj1d["log1pz"] = np.log1p(inj1d["redshift"])
 
     def beta_ab(mu, var):
         nu = mu * (1.0 - mu) / var - 1.0
@@ -131,25 +145,49 @@ def make_model(pedict, injdict, constants, z_model):
 
         # log space end to end: f32 on TPU cannot square linear weights
         z_lognorm = jnp.log(z_model.normalization(lamb))
-        logw = (
-            log_plpeak_primary_ratio_pdf(
-                bank["mass_1"], bank["mass_ratio"], alpha, beta, MMIN, MMAX, mu_peak, sig_peak, lambda_m
-            )
-            + log_independent_spin_magnitude_beta_dist(
-                bank["a_1"], bank["a_2"], alpha_a1, beta_a1, alpha_a2, beta_a2
-            )
-            + log_independent_spin_tilt(
-                bank["cos_tilt_1"], bank["cos_tilt_2"], lambda_ct1, lambda_ct2, sig_ct1, sig_ct2
-            )
-            + jnp.where(
-                bank["redshift"] <= z_model.zmax,
-                log_dvdz_all + (lamb - 1.0) * log1p_z_all - z_lognorm,
-                jnp.nan_to_num(-jnp.inf),
-            )
-            - log_prior_all
-        )
-        logw = jnp.where(jnp.isnan(logw) | (logw == jnp.inf), -jnp.inf, logw)
 
+        def log_weight(d):
+            logw = (
+                log_plpeak_primary_ratio_pdf(
+                    d["mass_1"], d["mass_ratio"], alpha, beta, MMIN, MMAX, mu_peak, sig_peak, lambda_m
+                )
+                + log_independent_spin_magnitude_beta_dist(
+                    d["a_1"], d["a_2"], alpha_a1, beta_a1, alpha_a2, beta_a2
+                )
+                + log_independent_spin_tilt(
+                    d["cos_tilt_1"], d["cos_tilt_2"], lambda_ct1, lambda_ct2, sig_ct1, sig_ct2
+                )
+                + jnp.where(
+                    d["redshift"] <= z_model.zmax,
+                    d["log_dvdz"] + (lamb - 1.0) * d["log1pz"] - z_lognorm,
+                    jnp.nan_to_num(-jnp.inf),
+                )
+                - d["log_prior"]
+            )
+            return jnp.where(jnp.isnan(logw) | (logw == jnp.inf), -jnp.inf, logw)
+
+        if n_chunks > 1:
+            from gwinferno_tpu.ops.chunked import chunked_summaries
+
+            pe_sum, inj_sum = chunked_summaries(
+                log_weight, pe2d, log_weight, inj1d, constants["total_inj"], n_chunks, inj_chunks=1
+            )
+            hierarchical_likelihood(
+                None,
+                None,
+                total_inj=constants["total_inj"],
+                Nobs=constants["nObs"],
+                Tobs=constants["obs_time"],
+                surveyed_hypervolume=jnp.exp(z_lognorm),
+                marginalize_selection=False,
+                min_neff_cut=True,
+                log=True,
+                pe_summaries=pe_sum,
+                inj_summaries=inj_sum,
+            )
+            return
+
+        logw = log_weight(bank)
         hierarchical_likelihood(
             logw[:n_pe].reshape(E, S),
             logw[n_pe:],

@@ -40,10 +40,13 @@ from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict  # noqa:
 
 WARMUP = int(os.environ.get("SCALE_WARMUP", 200))
 SAMPLES = int(os.environ.get("SCALE_SAMPLES", 200))
-# (num_chains, chain_groups) pairs; group size 16 = the known-good batch
-DEFAULT_CONFIGS = "16:1,32:2,64:4,64:1"
+# chains:groups[:sample_chunks] triples.  groups>1 = the lax.map device-batch
+# tiling workaround; sample_chunks>1 = the at-the-source fix (ops/chunked.py
+# scan+checkpoint tiles INSIDE the flat vmapped gradient, sized so
+# C * S / chunks stays at the known-good 16-lane footprint).
+DEFAULT_CONFIGS = "16:1,32:1,64:1,32:2,64:4,32:1:2,64:1:4"
 CONFIGS = [
-    tuple(int(v) for v in pair.split(":"))
+    tuple(int(v) for v in (pair.split(":") + ["1"])[:3])
     for pair in os.environ.get("SCALE_CONFIGS", DEFAULT_CONFIGS).split(",")
 ]
 # SCALE_MESH=1: the multi-device variant -- chain axis sharded over all
@@ -56,7 +59,7 @@ CONFIGS = [
 MESH_MODE = os.environ.get("SCALE_MESH", "0") == "1"
 
 
-def run_one(model, n_chains, groups):
+def run_one(model, n_chains, groups, chunks=1):
     bench.N_CHAINS = n_chains  # make_init sizes its jitter batch from this
     mcmc = MCMC(
         NUTS(
@@ -92,7 +95,9 @@ def run_one(model, n_chains, groups):
     return {
         "num_chains": n_chains,
         "chain_groups": groups,
+        "sample_chunks": chunks,
         "scheduler": "async" if mcmc._resolve_scheduler(n_chains) else "sync",
+        "seg": int(os.environ.get("BENCH_SEG", 25)),
         "wall_s": round(wall, 2),
         "compile_plus_first_run_s": round(compile_plus_first, 1),
         "min_ess": round(min_ess, 1),
@@ -105,12 +110,20 @@ def run_one(model, n_chains, groups):
 def main():
     pedict, injdict, constants, _ = load_pe_and_injections_as_dict(bench.ensure_data())
     z_model = PowerlawRedshiftModel(pedict["redshift"], injdict["redshift"])
-    model = bench.make_model(pedict, injdict, constants, z_model)
+
+    models = {}
+
+    def model_for(chunks):
+        if chunks not in models:
+            os.environ["BENCH_SAMPLE_CHUNKS"] = str(chunks)
+            models[chunks] = bench.make_model(pedict, injdict, constants, z_model)
+            os.environ.pop("BENCH_SAMPLE_CHUNKS", None)
+        return models[chunks]
 
     rows = []
-    for n_chains, groups in CONFIGS:
-        print(f"--- {n_chains} chains / {groups} groups", file=sys.stderr, flush=True)
-        rows.append(run_one(model, n_chains, groups))
+    for n_chains, groups, chunks in CONFIGS:
+        print(f"--- {n_chains} chains / {groups} groups / {chunks} chunks", file=sys.stderr, flush=True)
+        rows.append(run_one(model_for(chunks), n_chains, groups, chunks))
         print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
 
     out = {
