@@ -57,6 +57,10 @@ def main():
         # hung/faulted on the remote-TPU tunnel (3/3 attempts); the lockstep
         # scan is proven at this config (docs/bspline_r3)
         "--chain-scheduler", os.environ.get("BSPLINE_SCHEDULER", "sync"),
+        # whitened: non-centered coefficient priors through the smoothing-
+        # prior Cholesky (round-5 reparameterization; 'centered' restores the
+        # reference-parity parameterization)
+        "--reparam", os.environ.get("BSPLINE_REPARAM", "whitened"),
     ]
     if os.environ.get("BSPLINE_FUSED", "1") == "1":
         argv.append("--fused")
@@ -68,8 +72,18 @@ def main():
     wall_total = time.time() - t0
     mcmc = models.pop("_mcmc")
 
-    # min ESS over every scalar component of every sampled site
-    samples = mcmc.get_samples(group_by_chain=True)
+    # min ESS over every scalar component of every sampled site, PLUS (under
+    # --reparam whitened, where the coefficient vectors are deterministic
+    # sites in c-space) the coefficient components themselves, so the metric
+    # stays comparable with the centered rounds
+    samples = dict(mcmc.get_samples(group_by_chain=True))
+    n_chains = next(iter(samples.values())).shape[0]
+    coef_sites = {"mass_cs", "q_cs", "a_cs", "tilt_cs", "z_cs"}
+    det = mcmc.get_deterministic(site_names=coef_sites)
+    for name, v in det.items():
+        arr = np.asarray(v)  # (draws*chains, ...) draw-major
+        arr = arr.reshape((-1, n_chains) + arr.shape[1:]).swapaxes(0, 1)
+        samples["det_" + name] = arr
     ess_min, rhat_max = np.inf, 0.0
     for name, v in samples.items():
         arr = np.asarray(v)  # (chains, draws, *shape)
@@ -79,12 +93,16 @@ def main():
             rhat_max = max(rhat_max, float(split_rhat(flat[:, :, j])))
     extra = mcmc.get_extra_fields()
     div = np.asarray(extra["diverging"])
-    n_dim = sum(int(np.prod(np.asarray(v).shape[2:]) or 1) for v in samples.values())
+    n_dim = sum(
+        int(np.prod(np.asarray(v).shape[2:]) or 1)
+        for k, v in samples.items() if not k.startswith("det_")
+    )
 
     metrics = {
         "config": (
             "B-spline production (m1:50 q:30 a:16 tilt:16 z:20, smoothing priors, "
-            f"min_neff_cut, fused={bool(args.fused)}, target_accept={args.target_accept}), "
+            f"min_neff_cut, fused={bool(args.fused)}, target_accept={args.target_accept}, "
+            f"reparam={args.reparam}), "
             f"{args.warmup}w+{args.samples}s, "
             f"{args.chains} chains, 69-ev synthetic catalog x {pedict['mass_1'].shape[1]} samps"
         ),
