@@ -39,7 +39,7 @@ from utils import run_bspline_analysis  # noqa: E402
 from utils import setup_result_dir  # noqa: E402
 
 
-def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names, fused_lik=None, reparam="centered"):
+def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model, z_model, mmin, mmax, param_names, fused_lik=None, reparam="centered", m_tau=1, q_tau=1, a_tau=25, ct_tau=25, z_tau=1):
     """B-spline mass/ratio/spins/redshift model (parity: reference
     examples/simple_bspline_example.py:25-89).
 
@@ -54,9 +54,9 @@ def model(pedict, injdict, Nobs, Tobs, Ninj, mass_models, mag_model, tilt_model,
     n_ct = tilt_model.primary_model.n_splines
     n_z = z_model.n_splines
 
-    mass_cs, q_cs = bspline_mass_prior(m_nsplines=n_m, q_nsplines=n_q, m_tau=1, q_tau=1, reparam=reparam)
-    a_cs, tilt_cs = bspline_spin_prior(a_nsplines=n_a, ct_nsplines=n_ct, a_tau=25, ct_tau=25, IID=True, reparam=reparam)
-    z_cs = bspline_redshift_prior(z_nsplines=n_z, z_tau=1, reparam=reparam)
+    mass_cs, q_cs = bspline_mass_prior(m_nsplines=n_m, q_nsplines=n_q, m_tau=m_tau, q_tau=q_tau, reparam=reparam)
+    a_cs, tilt_cs = bspline_spin_prior(a_nsplines=n_a, ct_nsplines=n_ct, a_tau=a_tau, ct_tau=ct_tau, IID=True, reparam=reparam)
+    z_cs = bspline_redshift_prior(z_nsplines=n_z, z_tau=z_tau, reparam=reparam)
     lamb = ppl.sample("lamb", dist.Normal(0, 3))
 
     if fused_lik is not None:

@@ -107,6 +107,9 @@ def run_bspline_analysis(model, pedict, injdict, constants, param_names, args, s
             param_names,
             fused_lik=fused_lik,
             reparam=getattr(args, "reparam", "centered"),
+            m_tau=getattr(args, "m_tau", 1), q_tau=getattr(args, "q_tau", 1),
+            a_tau=getattr(args, "a_tau", 25), ct_tau=getattr(args, "ct_tau", 25),
+            z_tau=getattr(args, "z_tau", 1),
         )
 
     mcmc = MCMC(

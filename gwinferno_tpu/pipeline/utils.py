@@ -75,6 +75,17 @@ def load_base_parser():
                         "reference's (iid Normal sites + smoothing factors); 'whitened' samples "
                         "standard normals and maps through the prior-precision Cholesky -- "
                         "identical prior, isotropic sampling geometry (recommended)")
+    parser.add_argument("--m-tau", type=float, default=1.0,
+                        help="P-spline smoothing strength, primary-mass coefficients")
+    parser.add_argument("--q-tau", type=float, default=1.0,
+                        help="P-spline smoothing strength, mass-ratio coefficients")
+    parser.add_argument("--a-tau", type=float, default=25.0,
+                        help="P-spline smoothing strength, spin-magnitude coefficients "
+                        "(reference default 25; smaller = less smoothing bias on sharp features)")
+    parser.add_argument("--ct-tau", type=float, default=25.0,
+                        help="P-spline smoothing strength, spin-tilt coefficients")
+    parser.add_argument("--z-tau", type=float, default=1.0,
+                        help="P-spline smoothing strength, redshift coefficients")
     return parser
 
 

@@ -61,6 +61,8 @@ def main():
         # prior Cholesky (round-5 reparameterization; 'centered' restores the
         # reference-parity parameterization)
         "--reparam", os.environ.get("BSPLINE_REPARAM", "whitened"),
+        "--a-tau", os.environ.get("BSPLINE_A_TAU", "25"),
+        "--ct-tau", os.environ.get("BSPLINE_CT_TAU", "25"),
     ]
     if os.environ.get("BSPLINE_FUSED", "1") == "1":
         argv.append("--fused")
@@ -102,7 +104,7 @@ def main():
         "config": (
             "B-spline production (m1:50 q:30 a:16 tilt:16 z:20, smoothing priors, "
             f"min_neff_cut, fused={bool(args.fused)}, target_accept={args.target_accept}, "
-            f"reparam={args.reparam}), "
+            f"reparam={args.reparam}, a_tau={args.a_tau}, ct_tau={args.ct_tau}), "
             f"{args.warmup}w+{args.samples}s, "
             f"{args.chains} chains, 69-ev synthetic catalog x {pedict['mass_1'].shape[1]} samps"
         ),
