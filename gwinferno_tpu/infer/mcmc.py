@@ -25,6 +25,7 @@ TPU-first design decisions (vs the reference's delegation to NumPyro):
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -629,12 +630,26 @@ class MCMC:
     # ------------------------------------------------------------------ run
 
     def run(self, rng_key, *model_args, init_params=None, post_warmup_state=None, **model_kwargs):
+        phase_t0 = time.time()
+        phases = []
+
+        def _phase(label):
+            # GWINF_PHASE_TIMING=1: wall per run() phase on stderr (where does
+            # compile+first_run go -- tracing, chain init, warmup init, scan?)
+            nonlocal phase_t0
+            if os.environ.get("GWINF_PHASE_TIMING") == "1":
+                now = time.time()
+                phases.append((label, now - phase_t0))
+                phase_t0 = now
+                print(f"[mcmc-phase] {label}: {phases[-1][1]:.1f}s", file=sys.stderr, flush=True)
+
         if isinstance(rng_key, int):
             rng_key = jax.random.PRNGKey(rng_key)
         resume = post_warmup_state is not None
         potential_fn, unravel, transforms, flat_proto, init_fn, scan_fn = self._get_compiled(
             model_args, model_kwargs, resume
         )
+        _phase("trace+build (get_compiled)")
         self._unravel, self._transforms = unravel, transforms
         self._model_args, self._model_kwargs = model_args, model_kwargs
 
@@ -664,6 +679,8 @@ class MCMC:
         else:
             num_warmup = self.num_warmup
             z0 = self._init_chains(key_init, potential_fn, flat_proto, init_params, unravel, transforms)
+            jax.block_until_ready(z0)
+            _phase("chain init (candidate search)")
             inv0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones(dim, dtype=dtype)
             mm_inv0 = jnp.broadcast_to(inv0, (nc,) + inv0.shape)
             ss_in = jnp.full((nc,), float(self.kernel.step_size), dtype)
@@ -681,8 +698,12 @@ class MCMC:
                     shard_chain_state(self.mesh, x, self.chain_axis) for x in (z0, mm_inv0, ss_in)
                 )
             state0, da0, wf0, mm0, ss0 = init_fn(z0, key_ss, mm_inv0, ss_in, self._pf_consts)
+            jax.block_until_ready(ss0)
+            _phase("init_fn (step-size search)")
             carry = (state0, da0, wf0, mm0, ss0, key_samp)
             carry, collected = self._run_scan(scan_fn, carry, xs, num_warmup)
+            jax.block_until_ready(carry[4])
+            _phase("scan (compile + all segments)")
 
         state, da, wf, mm, ss_final, key_end = carry
         step_size = ss_final
