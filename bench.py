@@ -246,7 +246,8 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     from gwinferno_tpu.infer import MCMC, NUTS
     from gwinferno_tpu.infer.diagnostics import effective_sample_size, split_rhat
