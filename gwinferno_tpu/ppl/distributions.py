@@ -33,6 +33,7 @@ __all__ = [
     "Beta",
     "Dirichlet",
     "Categorical",
+    "MixtureGeneral",
     "TruncatedNormal",
     "Delta",
     "ImproperUniform",
@@ -292,6 +293,58 @@ class Categorical(Distribution):
         logits = jnp.broadcast_to(self.logits, batch + self.logits.shape[-1:])
         value = jnp.broadcast_to(value, batch)
         return jnp.take_along_axis(logits, value[..., None], axis=-1)[..., 0]
+
+
+class MixtureGeneral(Distribution):
+    """Finite mixture with an explicit ``Categorical`` mixing distribution
+    and a list of component distributions (the numpyro surface the
+    reference's mixture config blocks instantiate:
+    ``spec.model(mixing_dist, components)`` in
+    gwinferno/pipeline/analysis.py:382-399 / our pipeline/analysis.py
+    ``_plan_population_builders``).
+
+    ``log_prob`` is the logsumexp-weighted component density; ``sample``
+    draws a component index per draw and gathers.  ``support`` is the first
+    component's (components of one config block share a parameter's
+    domain).
+    """
+
+    def __init__(self, mixing_distribution, component_distributions):
+        if not isinstance(mixing_distribution, Categorical):
+            raise ValueError("mixing_distribution must be a Categorical")
+        if len(component_distributions) != mixing_distribution.logits.shape[-1]:
+            raise ValueError(
+                f"{len(component_distributions)} components vs "
+                f"{mixing_distribution.logits.shape[-1]} mixing weights"
+            )
+        self.mixing_distribution = mixing_distribution
+        self.component_distributions = list(component_distributions)
+        batch = jnp.broadcast_shapes(*(tuple(c.batch_shape) for c in self.component_distributions))
+        super().__init__(batch)
+        self.support = self.component_distributions[0].support
+
+    def log_prob(self, value):
+        comp_lp = jnp.stack(
+            [c.log_prob(value) for c in self.component_distributions], axis=-1
+        )
+        logmix = self.mixing_distribution.logits
+        return jax.scipy.special.logsumexp(comp_lp + logmix, axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        k_idx, k_comp = jax.random.split(key)
+        idx = self.mixing_distribution.sample(k_idx, sample_shape)
+        draws = jnp.stack(
+            [
+                c.sample(k, sample_shape + self.batch_shape)
+                for c, k in zip(
+                    self.component_distributions,
+                    jax.random.split(k_comp, len(self.component_distributions)),
+                )
+            ],
+            axis=-1,
+        )
+        idx = jnp.broadcast_to(idx, draws.shape[:-1])
+        return jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]
 
 
 class TruncatedNormal(Distribution):
