@@ -6,7 +6,14 @@ docstring of simple_powerlaw_peak_example.py).  ``--fused`` routes the
 entire weight product + per-event reduction through one Pallas MXU pass.
 
 Run:  python examples/simple_bspline_example.py --pe-inj-file tests/data/pe_inj_file.h5 \
-          --m-nsplines 50 --q-nsplines 30 --a-nsplines 16 --tilt-nsplines 16 --z-nsplines 20
+          --m-nsplines 50 --q-nsplines 30 --a-nsplines 16 --tilt-nsplines 16 --z-nsplines 20 \
+          --reparam whitened
+
+``--reparam whitened`` (recommended) samples the coefficient blocks
+non-centered through the smoothing-prior Cholesky: identical prior, but the
+sampled geometry is isotropic -- on the production configuration it cut
+divergences 2.0% -> 0.56% and lifted min ESS 11x (docs/bspline_r5).  The
+default stays ``centered`` for reference parity.
 """
 
 import os
