@@ -133,7 +133,8 @@ def main():
         "config": f"bench.py 14-hyperparameter model, {WARMUP}w+{SAMPLES}s, depth 6, dense mass",
         "rows": rows,
     }
-    path = os.path.join(ROOT, "docs", "chain_scaling_mesh.json" if MESH_MODE else "chain_scaling.json")
+    default_name = "chain_scaling_mesh.json" if MESH_MODE else "chain_scaling.json"
+    path = os.path.join(ROOT, "docs", os.environ.get("SCALE_OUT", default_name))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)
