@@ -100,6 +100,15 @@ def main():
         for k, v in samples.items() if not k.startswith("det_")
     )
 
+    # CPU-f64 denominator (tools/measure_cpu_baseline_bspline.py), when present
+    vs_baseline = None
+    base_path = os.path.join(ROOT, "docs", "bspline_r5", "cpu_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("ess_per_s"):
+            vs_baseline = round((ess_min / wall_total) / base["ess_per_s"], 1)
+
     metrics = {
         "config": (
             "B-spline production (m1:50 q:30 a:16 tilt:16 z:20, smoothing priors, "
@@ -113,6 +122,7 @@ def main():
         "wall_total_s": round(wall_total, 1),
         "min_ess": round(ess_min, 1),
         "min_ess_per_s_total": round(ess_min / wall_total, 3),
+        "vs_cpu_f64_baseline": vs_baseline,
         "divergence_rate": round(float(div.mean()), 4),
         "max_split_rhat": round(rhat_max, 3),
         "mean_tree_depth": round(float(np.mean(np.asarray(extra["tree_depth"]))), 2),
