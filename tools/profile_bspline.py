@@ -102,9 +102,19 @@ def main():
 
     results = {}
     for label, loss in [("plain-xla", loss_plain), ("fused-pallas", loss_fused)]:
-        vg = jax.vmap(jax.value_and_grad(loss))
+        # hoist the closed-over sample banks into runtime arguments (the
+        # MCMC engine's treatment): closing over them embeds multi-MB
+        # constants in the remote-compile request (observed HTTP 413) and
+        # pays per-bank constant fetches at lowering
+        closed = jax.make_jaxpr(loss)(theta0[0])
+        consts = tuple(jax.device_put(c) for c in closed.consts)
 
-        def scan_fn(th):
+        def loss_c(th, consts_, jx=closed.jaxpr):
+            return jax.core.eval_jaxpr(jx, list(consts_), th)[0]
+
+        def scan_fn(th, consts_):
+            vg = jax.vmap(jax.value_and_grad(lambda t: loss_c(t, consts_)))
+
             def body(t, _):
                 v, g = vg(t)
                 return t - 1e-6 * jnp.tanh(g), v
@@ -112,7 +122,7 @@ def main():
             return jax.lax.scan(body, th, None, length=args.iters)
 
         f = jax.jit(scan_fn)
-        t = time_call(f, (theta0,), reps=5) / args.iters
+        t = time_call(f, (theta0, consts), reps=5) / args.iters
         results[label] = round(t * 1e3, 3)
         print(json.dumps({"path": label, "in_scan_grad_ms": results[label],
                           "per_chain_grad_us": round(t / args.chains * 1e6, 1)}))
