@@ -144,7 +144,20 @@ class MCMC:
 
     def _setup(self, model_args, model_kwargs):
         model = self.kernel.model
-        transforms, discrete, tr = _model_transforms(model, model_args, model_kwargs)
+        # the one-time EAGER model evaluation (site discovery + transform
+        # inference) only needs values/shapes; on a remote-TPU tunnel every
+        # eager bank op would round-trip the wire and re-upload multi-MB
+        # host-numpy operands (measured 45.7 s of the bench's cold first
+        # run) -- pin it to the host CPU device
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                transforms, discrete, tr = _model_transforms(model, model_args, model_kwargs)
+        else:
+            transforms, discrete, tr = _model_transforms(model, model_args, model_kwargs)
         if discrete:
             raise ValueError(
                 f"discrete latent sites {sorted(discrete)} are not supported by "
