@@ -151,6 +151,12 @@ def double_logsumexp(x, axis=-1, mode=None, interpret=False):
         x = jnp.moveaxis(x, axis, -1)
     mode = mode if mode is not None else os.environ.get("GWINF_FUSED", "auto")
     on_tpu = pl is not None and jax.devices()[0].platform == "tpu"
+    # honor an explicit CPU default_device (e.g. the MCMC engine pins its
+    # one-time eager model trace to host CPU): a Pallas kernel launched
+    # there would fail with "Only interpret mode is supported on CPU"
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) == "cpu":
+        on_tpu = False
     if mode == "1" or (mode == "auto" and on_tpu):
         return _dlse_fused(x, interpret)
     return _dlse_xla(x)
@@ -293,6 +299,9 @@ def fused_logweight_logsumexp(coefs, design, neg_log_prior, n_events, n_samples,
     design matrix (a cached constant).
     """
     platform = jax.devices()[0].platform
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) == "cpu":
+        platform = "cpu"  # eager trace pinned to host CPU (see double_logsumexp)
     if platform not in ("tpu",) and not interpret:
         return fused_logweight_logsumexp_xla(coefs, design, neg_log_prior, n_events, n_samples)
 
