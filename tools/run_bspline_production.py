@@ -64,7 +64,11 @@ def main():
         "--a-tau", os.environ.get("BSPLINE_A_TAU", "25"),
         "--ct-tau", os.environ.get("BSPLINE_CT_TAU", "25"),
     ]
-    if os.environ.get("BSPLINE_FUSED", "1") == "1":
+    # BSPLINE_FUSED=1 opts back into the RETIRED fused Pallas matmul path:
+    # at the production config the unfused XLA path is 4.2x faster end to
+    # end at equal quality (251 s vs 1056 s total, docs/bspline_r5 vs
+    # docs/bspline_r5_fused_comparison)
+    if os.environ.get("BSPLINE_FUSED", "0") == "1":
         argv.append("--fused")
     args = load_base_parser().parse_args(argv)
 
