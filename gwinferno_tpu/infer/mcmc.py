@@ -154,8 +154,16 @@ class MCMC:
         except RuntimeError:
             cpu = None
         if cpu is not None:
-            with jax.default_device(cpu):
-                transforms, discrete, tr = _model_transforms(model, model_args, model_kwargs)
+            # bypass the persistent compilation cache for these tiny eager
+            # CPU programs: caching them is useless and cross-process cache
+            # hits trip XLA:CPU AOT machine-feature mismatch warnings
+            cache_prev = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+            try:
+                with jax.default_device(cpu):
+                    transforms, discrete, tr = _model_transforms(model, model_args, model_kwargs)
+            finally:
+                jax.config.update("jax_enable_compilation_cache", cache_prev)
         else:
             transforms, discrete, tr = _model_transforms(model, model_args, model_kwargs)
         if discrete:
