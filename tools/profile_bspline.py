@@ -7,6 +7,14 @@ injection bank + gradients w.r.t. all coefficient blocks), vmapped over a
 chain batch.  Run on TPU:
 
     python tools/profile_bspline.py [--chains 16]
+
+CAVEAT (round 5): after the hoisted-consts rework this microbench returned
+implausible microsecond-scale timings on the remote-TPU tunnel (the same
+scan pattern measures sanely on CPU) -- a tunnel async/blocking artifact.
+The AUTHORITATIVE fused-vs-XLA comparison is the end-to-end production
+head-to-head in docs/PERF.md (unfused 251 s vs fused 1056 s total at the
+identical whitened config); treat numbers from this tool on the tunnel
+with suspicion.
 """
 
 import argparse
