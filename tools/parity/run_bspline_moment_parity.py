@@ -95,11 +95,6 @@ def main():
     t_ens = time.time() - t0
     burn = n_steps // 2
     ens = chain[burn:]  # (steps, walkers, dim)
-    ens_mean = ens.reshape(-1, DIM).mean(axis=0)
-    ens_sd = ens.reshape(-1, DIM).std(axis=0)
-    ens_se = np.array([
-        ens_sd[d] / np.sqrt(max(ess_1d(ens[:, :, d].T), 4.0)) for d in range(DIM)
-    ])
     print(f"ensemble: {n_steps} steps x {n_walkers} walkers, acc {acc:.2f}, {t_ens:.0f}s", flush=True)
 
     # ---------------- framework NUTS (whitened) ----------------
@@ -119,36 +114,68 @@ def main():
     t_nuts = time.time() - t0
     mcmc = models.pop("_mcmc")
 
-    nuts_stats = {}
     n_chains = int(args.chains)
-    for name, n in BLOCKS + [("lamb", 1), ("unscaled_rate", 1)]:
-        if name in posterior:
-            v = np.asarray(posterior[name])
-        else:
-            v = np.asarray(mcmc.get_samples()[name])
-        v = v.reshape(v.shape[0], -1)  # (draws*chains, k)
-        bc = v.reshape(-1, n_chains, v.shape[1]).swapaxes(0, 1)  # (chains, draws, k)
-        from gwinferno_tpu.infer.diagnostics import effective_sample_size
-        se = np.array([
-            bc[:, :, j].std() / np.sqrt(max(float(effective_sample_size(bc[:, :, j])), 4.0))
-            for j in range(v.shape[1])
-        ])
-        nuts_stats[name] = (v.mean(axis=0), v.std(axis=0), se)
 
     # ---------------- comparison ----------------
-    rows, zmax = [], 0.0
+    # Exp-projected, normalized spline blocks have an exactly-degenerate
+    # LEVEL direction (adding a constant to every coefficient multiplies the
+    # pdf by a constant that the trapezoid normalization removes; the
+    # difference penalty is shift-invariant too), pinned only by the weak
+    # iid-Normal prior -- a soft mode where the ensemble's autocorrelation
+    # time (hence its mc-se) is badly underestimated and burn-in bias
+    # lingers (the round-3 parametric-parity lesson).  The physically
+    # meaningful SHAPE lives in the coefficient DIFFERENCES, which are
+    # scored as first-class projections; levels are reported with the soft
+    # flag rather than gated.
+    def series_stats_ens(vec_fn):
+        s = vec_fn(ens)  # (steps, walkers)
+        m, sd = float(s.mean()), float(s.std())
+        return m, sd / np.sqrt(max(ess_1d(s.T), 4.0))
+
+    def series_stats_nuts(draws):  # (chains, draws)
+        from gwinferno_tpu.infer.diagnostics import effective_sample_size
+        m, sd = float(draws.mean()), float(draws.std())
+        return m, sd / np.sqrt(max(float(effective_sample_size(draws)), 4.0))
+
+    # raw per-block NUTS chains
+    nuts_chains = {}
+    for name, n in BLOCKS + [("lamb", 1), ("unscaled_rate", 1)]:
+        v = np.asarray(posterior[name] if name in posterior else mcmc.get_samples()[name])
+        v = v.reshape(v.shape[0], -1)
+        nuts_chains[name] = v.reshape(-1, n_chains, v.shape[1]).swapaxes(0, 1)  # (chains, draws, k)
+
+    rows, zmax_shape, zmax_all = [], 0.0, 0.0
+    offset = {}
     i = 0
     for name, n in BLOCKS + [("lamb", 1), ("unscaled_rate", 1)]:
-        mean_n, sd_n, se_n = nuts_stats[name]
-        for j in range(n):
-            se = np.sqrt(se_n[j] ** 2 + ens_se[i] ** 2)
-            z = float((mean_n[j] - ens_mean[i]) / max(se, 1e-12))
-            rows.append({"param": f"{name}[{j}]" if n > 1 else name,
-                         "nuts_mean": round(float(mean_n[j]), 4),
-                         "ens_mean": round(float(ens_mean[i]), 4),
-                         "combined_se": round(float(se), 4), "z": round(z, 2)})
-            zmax = max(zmax, abs(z))
-            i += 1
+        offset[name] = i
+        i += n
+
+    def add_row(label, kind, ens_fn, nuts_draws):
+        nonlocal zmax_shape, zmax_all
+        em, ese = series_stats_ens(ens_fn)
+        nm, nse = series_stats_nuts(nuts_draws)
+        se = float(np.sqrt(ese**2 + nse**2))
+        z = (nm - em) / max(se, 1e-12)
+        rows.append({"param": label, "kind": kind, "nuts_mean": round(nm, 4),
+                     "ens_mean": round(em, 4), "combined_se": round(se, 4), "z": round(z, 2)})
+        zmax_all = max(zmax_all, abs(z))
+        if kind != "soft-level":
+            zmax_shape = max(zmax_shape, abs(z))
+
+    for name, n in BLOCKS + [("lamb", 1), ("unscaled_rate", 1)]:
+        o = offset[name]
+        bc = nuts_chains[name]
+        if n == 1:
+            add_row(name, "scalar", lambda e, o=o: e[:, :, o], bc[:, :, 0])
+            continue
+        for j in range(n - 1):
+            add_row(f"d_{name}[{j}]", "shape",
+                    lambda e, o=o, j=j: e[:, :, o + j + 1] - e[:, :, o + j],
+                    bc[:, :, j + 1] - bc[:, :, j])
+        add_row(f"level_{name}", "soft-level",
+                lambda e, o=o, n=n: e[:, :, o : o + n].mean(axis=-1),
+                bc.mean(axis=-1))
 
     out = {
         "config": (
@@ -157,14 +184,16 @@ def main():
             f"ensemble {n_steps}x{n_walkers} (acc {acc:.2f}, {t_ens:.0f}s) vs NUTS whitened "
             f"{args.warmup}w+{args.samples}s x {args.chains} chains ({t_nuts:.0f}s)"
         ),
-        "max_abs_z": round(zmax, 2),
-        "n_params": len(rows),
+        "max_abs_z_shape": round(zmax_shape, 2),
+        "max_abs_z_incl_soft_levels": round(zmax_all, 2),
+        "n_projections": len(rows),
         "rows": rows,
     }
     path = os.path.join(HERE, "bspline_moment_parity.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({k: out[k] for k in ("config", "max_abs_z", "n_params")}, indent=1))
+    print(json.dumps({k: out[k] for k in
+                      ("config", "max_abs_z_shape", "max_abs_z_incl_soft_levels", "n_projections")}, indent=1))
     print(f"wrote {path}")
 
 
