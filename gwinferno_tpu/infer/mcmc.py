@@ -97,6 +97,7 @@ class MCMC:
         max_steps_per_call=None,
         chain_groups=1,
         chain_scheduler="auto",
+        chain_batch_size=None,
     ):
         if chain_method not in _CHAIN_METHODS:
             raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
@@ -120,6 +121,27 @@ class MCMC:
             raise ValueError(
                 f"chain_groups={chain_groups} must divide num_chains={num_chains}"
             )
+        # chain_batch_size=B: dispatch the vectorized engine sequentially in
+        # batches of B chains, reusing ONE compiled B-lane executable.  The
+        # alternative high-chain-count tiling to chain_groups: each batch
+        # keeps the proven single-batch program end to end (no lax.map
+        # re-tiling, bookkeeping sized to B lanes) at the cost of serializing
+        # whole runs instead of rounds.  Chains are independent either way.
+        self.chain_batch_size = None if chain_batch_size is None else int(chain_batch_size)
+        if self.chain_batch_size is not None:
+            if chain_method != "vectorized" or mesh is not None:
+                raise ValueError("chain_batch_size needs chain_method='vectorized' without a mesh")
+            if collective_adaptation:
+                raise ValueError(
+                    "chain_batch_size pools nothing across batches; collective_adaptation "
+                    "needs all chains in one batch"
+                )
+            if int(num_chains) % self.chain_batch_size != 0:
+                raise ValueError(
+                    f"chain_batch_size={chain_batch_size} must divide num_chains={num_chains}"
+                )
+            if self.chain_groups > 1:
+                raise ValueError("chain_batch_size and chain_groups are alternative tilings; pick one")
         self.kernel = kernel
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
@@ -561,7 +583,12 @@ class MCMC:
         leaf_ids = tuple(id(x) for x in leaves)
         shapes = tuple((jnp.shape(x), jnp.result_type(x).name) for x in leaves)
         treedef = jax.tree.structure((model_args, model_kwargs))
-        nc = 1 if self.chain_method == "sequential" else self.num_chains
+        if self.chain_method == "sequential":
+            nc = 1
+        elif self.chain_batch_size is not None:
+            nc = self.chain_batch_size
+        else:
+            nc = self.num_chains
         find_ss0 = getattr(self.kernel, "adapt_step_size", True) and not resume
         use_async = self._resolve_scheduler(nc)
         key = (id(self.kernel.model), treedef, leaf_ids, shapes, nc, find_ss0,
@@ -709,8 +736,11 @@ class MCMC:
         total = self.num_samples * self.thinning
         xs = self._schedule_arrays(num_warmup, total, adapt_mm)
 
-        if self.chain_method == "sequential":
-            collected, carry = self._run_sequential(init_fn, scan_fn, z0, mm_inv0, ss_in, key_ss, key_samp, xs)
+        if self.chain_method == "sequential" or self.chain_batch_size is not None:
+            bs = 1 if self.chain_method == "sequential" else self.chain_batch_size
+            collected, carry = self._run_sequential(
+                init_fn, scan_fn, z0, mm_inv0, ss_in, key_ss, key_samp, xs, batch=bs
+            )
         else:
             if self.mesh is not None:
                 from ..parallel.sharding import shard_chain_state
@@ -787,16 +817,18 @@ class MCMC:
         collected = jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
         return carry, collected
 
-    def _run_sequential(self, init_fn, scan_fn, z0, mm_inv0, ss_in, key_ss, key_samp, xs):
-        """chain_method='sequential': one single-chain executable reused for
-        every chain; results stacked along the chain axis."""
+    def _run_sequential(self, init_fn, scan_fn, z0, mm_inv0, ss_in, key_ss, key_samp, xs, batch=1):
+        """Sequential dispatch of the vectorized engine in ``batch``-chain
+        batches (chain_method='sequential' is batch=1; ``chain_batch_size=B``
+        is batch=B): ONE compiled batch-lane executable reused for every
+        batch, results stacked along the chain axis."""
         carries, outs = [], []
-        for c in range(self.num_chains):
-            sl = slice(c, c + 1)
+        for b, c in enumerate(range(0, self.num_chains, batch)):
+            sl = slice(c, c + batch)
             state0, da0, wf0, mm0, ss0 = init_fn(
-                z0[sl], jax.random.fold_in(key_ss, c), mm_inv0[sl], ss_in[sl], self._pf_consts
+                z0[sl], jax.random.fold_in(key_ss, b), mm_inv0[sl], ss_in[sl], self._pf_consts
             )
-            carry = (state0, da0, wf0, mm0, ss0, jax.random.fold_in(key_samp, c))
+            carry = (state0, da0, wf0, mm0, ss0, jax.random.fold_in(key_samp, b))
             carry, out = self._run_scan(scan_fn, carry, xs, 0)
             carries.append(carry[:5])  # rng key (carry[5]) is not chain-batched
             outs.append(out)

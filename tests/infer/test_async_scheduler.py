@@ -201,3 +201,38 @@ def test_async_grouped_leapfrogs_statistics():
     # deterministic even though it differs from the flat tiling)
     m2 = run_grouped()
     np.testing.assert_array_equal(x, np.asarray(m2.get_samples()["x"]))
+
+
+def test_chain_batch_size_dispatch():
+    """chain_batch_size=B runs the vectorized engine in sequential B-chain
+    batches reusing one executable; shapes, statistics, and determinism."""
+
+    def model():
+        ppl.sample("x", dist.Normal(jnp.zeros(3), jnp.ones(3)))
+
+    def run():
+        m = MCMC(NUTS(model, max_tree_depth=6), num_warmup=200, num_samples=300,
+                 num_chains=4, chain_batch_size=2)
+        m.run(jax.random.PRNGKey(9))
+        return m
+
+    m = run()
+    xs = m.get_samples(group_by_chain=True)["x"]
+    assert xs.shape == (4, 300, 3)
+    flat = np.asarray(xs).reshape(-1, 3)
+    assert np.all(np.abs(flat.mean(0)) < 0.15)
+    assert np.all(np.abs(flat.std(0) - 1.0) < 0.15)
+    # batches use distinct key streams
+    assert not np.allclose(np.asarray(xs[0]), np.asarray(xs[2]))
+    # deterministic across runs
+    m2 = run()
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(m2.get_samples(group_by_chain=True)["x"]))
+
+
+def test_chain_batch_size_guards():
+    with pytest.raises(ValueError):
+        MCMC(NUTS(funnelish_model), num_chains=4, chain_batch_size=3)
+    with pytest.raises(ValueError):
+        MCMC(NUTS(funnelish_model), num_chains=4, chain_batch_size=2, collective_adaptation=True)
+    with pytest.raises(ValueError):
+        MCMC(NUTS(funnelish_model), num_chains=4, chain_batch_size=2, chain_groups=2)

@@ -40,13 +40,14 @@ from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict  # noqa:
 
 WARMUP = int(os.environ.get("SCALE_WARMUP", 200))
 SAMPLES = int(os.environ.get("SCALE_SAMPLES", 200))
-# chains:groups[:sample_chunks] triples.  groups>1 = the lax.map device-batch
-# tiling workaround; sample_chunks>1 = the at-the-source fix (ops/chunked.py
-# scan+checkpoint tiles INSIDE the flat vmapped gradient, sized so
-# C * S / chunks stays at the known-good 16-lane footprint).
+# chains:groups[:sample_chunks[:batch]] tuples.  groups>1 = the lax.map
+# device-batch tiling workaround; sample_chunks>1 = the at-the-source fix
+# (ops/chunked.py scan+checkpoint tiles INSIDE the flat vmapped gradient);
+# batch>0 = MCMC(chain_batch_size=batch): sequential whole-run batches of
+# the proven single-batch program.
 DEFAULT_CONFIGS = "16:1,32:1,64:1,32:2,64:4,32:1:2,64:1:4"
 CONFIGS = [
-    tuple(int(v) for v in (pair.split(":") + ["1"])[:3])
+    tuple(int(v) for v in (pair.split(":") + ["1", "0"])[:4])
     for pair in os.environ.get("SCALE_CONFIGS", DEFAULT_CONFIGS).split(",")
 ]
 # SCALE_MESH=1: the multi-device variant -- chain axis sharded over all
@@ -59,7 +60,7 @@ CONFIGS = [
 MESH_MODE = os.environ.get("SCALE_MESH", "0") == "1"
 
 
-def run_one(model, n_chains, groups, chunks=1):
+def run_one(model, n_chains, groups, chunks=1, batch=0):
     bench.N_CHAINS = n_chains  # make_init sizes its jitter batch from this
     mcmc = MCMC(
         NUTS(
@@ -72,6 +73,7 @@ def run_one(model, n_chains, groups, chunks=1):
         num_samples=SAMPLES,
         num_chains=n_chains,
         chain_groups=groups,
+        chain_batch_size=batch if batch > 0 else None,
         chain_scheduler=os.environ.get("SCALE_SCHEDULER", "auto"),
         chain_method="parallel" if MESH_MODE else "vectorized",
         collective_adaptation=MESH_MODE,
@@ -96,7 +98,8 @@ def run_one(model, n_chains, groups, chunks=1):
         "num_chains": n_chains,
         "chain_groups": groups,
         "sample_chunks": chunks,
-        "scheduler": "async" if mcmc._resolve_scheduler(n_chains) else "sync",
+        "chain_batch_size": batch or None,
+        "scheduler": "async" if mcmc._resolve_scheduler(batch or n_chains) else "sync",
         "seg": int(os.environ.get("BENCH_SEG", 25)),
         "wall_s": round(wall, 2),
         "compile_plus_first_run_s": round(compile_plus_first, 1),
@@ -121,9 +124,10 @@ def main():
         return models[chunks]
 
     rows = []
-    for n_chains, groups, chunks in CONFIGS:
-        print(f"--- {n_chains} chains / {groups} groups / {chunks} chunks", file=sys.stderr, flush=True)
-        rows.append(run_one(model_for(chunks), n_chains, groups, chunks))
+    for n_chains, groups, chunks, batch in CONFIGS:
+        print(f"--- {n_chains} chains / {groups} groups / {chunks} chunks / batch {batch}",
+              file=sys.stderr, flush=True)
+        rows.append(run_one(model_for(chunks), n_chains, groups, chunks, batch))
         print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
 
     out = {
