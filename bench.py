@@ -278,6 +278,12 @@ def main():
         num_warmup=WARMUP,
         num_samples=SAMPLES,
         num_chains=N_CHAINS,
+        # amortize the async round's transition-boundary bookkeeping over L
+        # masked leapfrog substeps (sample stream identical for every L;
+        # docs/PERF.md round-5 sweep picked the default)
+        leapfrogs_per_round=(
+            int(os.environ["BENCH_LEAPFROGS"]) if os.environ.get("BENCH_LEAPFROGS") else None
+        ),
         progress_bar=True,  # stderr; stdout stays one JSON line
         # bound single device executions: O(100)-step XLA programs (~2 min
         # per call) have faulted on the remote-TPU tunnel; 25-step segments

@@ -98,6 +98,7 @@ class MCMC:
         chain_groups=1,
         chain_scheduler="auto",
         chain_batch_size=None,
+        leapfrogs_per_round=None,
     ):
         if chain_method not in _CHAIN_METHODS:
             raise ValueError(f"chain_method must be one of {_CHAIN_METHODS}, got {chain_method!r}")
@@ -142,6 +143,19 @@ class MCMC:
                 )
             if self.chain_groups > 1:
                 raise ValueError("chain_batch_size and chain_groups are alternative tilings; pick one")
+        # leapfrogs_per_round=L: the async scheduler's while-loop round runs
+        # L masked leapfrog substeps before paying the transition-boundary
+        # bookkeeping block once.  At 16 chains a transition finishes almost
+        # every round, so the bookkeeping (finish/adapt/buffer-scatter/start
+        # -- hundreds of small latency-bound kernels) rides every single
+        # leapfrog at L=1; L>1 amortizes it L-fold at the cost of each chain
+        # idling (L-1)/2 substeps per transition on average.  The realized
+        # sample stream is IDENTICAL for every L (finished lanes are masked
+        # until the round's bookkeeping; per-chain update order unchanged).
+        # None -> auto (tuned on-chip; see _resolve_leapfrogs_per_round).
+        if leapfrogs_per_round is not None and int(leapfrogs_per_round) < 1:
+            raise ValueError(f"leapfrogs_per_round must be >= 1, got {leapfrogs_per_round}")
+        self.leapfrogs_per_round = None if leapfrogs_per_round is None else int(leapfrogs_per_round)
         self.kernel = kernel
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
@@ -271,7 +285,7 @@ class MCMC:
 
     # ------------------------------------------------------------------ program
 
-    def _build_programs(self, pf_from, dim, dtype, nc, find_ss0, use_async=False):
+    def _build_programs(self, pf_from, dim, dtype, nc, find_ss0, use_async=False, leapfrogs=1):
         """Build (init_fn, scan_fn), each jitted once; reused across run() calls.
 
         ``pf_from(consts) -> potential_fn``: both programs take the hoisted
@@ -557,8 +571,24 @@ class MCMC:
                 t, tc_in, started = lc[0], lc[1], lc[2]
                 mm_cur = lc[7]
                 running = started & (t < K)
-                stepped = round_leapfrogs(mm_cur, tc_in)
-                tc = sel(running, stepped, tc_in)
+                if leapfrogs <= 1:
+                    stepped = round_leapfrogs(mm_cur, tc_in)
+                    tc = sel(running, stepped, tc_in)
+                else:
+                    # L masked substeps per round (fori_loop: the substep
+                    # program lowers once regardless of L).  A lane whose
+                    # transition terminates mid-round stays masked until the
+                    # round's single bookkeeping call -- the per-chain math
+                    # and update order are identical to L=1, so the realized
+                    # sample stream is too; only (L-1)/2 expected idle
+                    # substeps per transition are traded for an L-fold cut
+                    # in bookkeeping frequency.
+                    def substep(_, tc_c):
+                        live = running & jax.vmap(active)(tc_c)
+                        stepped = round_leapfrogs(mm_cur, tc_c)
+                        return sel(live, stepped, tc_c)
+
+                    tc = jax.lax.fori_loop(0, leapfrogs, substep, tc_in)
                 done = running & ~jax.vmap(active)(tc)
                 lc = (t, tc) + lc[2:]
                 return jax.lax.cond(
@@ -591,9 +621,10 @@ class MCMC:
             nc = self.num_chains
         find_ss0 = getattr(self.kernel, "adapt_step_size", True) and not resume
         use_async = self._resolve_scheduler(nc)
+        leapfrogs = self._resolve_leapfrogs_per_round(use_async, nc)
         key = (id(self.kernel.model), treedef, leaf_ids, shapes, nc, find_ss0,
                getattr(self.kernel, "dense_mass", False), self.collective_adaptation,
-               self.chain_groups, use_async)
+               self.chain_groups, use_async, leapfrogs)
         if self._cache_key != key:
             self._cache_leaves = leaves  # hold refs so leaf ids stay unique
             potential_fn, unravel, transforms, flat_proto = self._setup(model_args, model_kwargs)
@@ -618,10 +649,30 @@ class MCMC:
                 return pf
 
             self._pf_from, self._pf_consts = pf_from, consts
-            init_fn, scan_fn = self._build_programs(pf_from, dim, dtype, nc, find_ss0, use_async)
+            init_fn, scan_fn = self._build_programs(
+                pf_from, dim, dtype, nc, find_ss0, use_async, leapfrogs
+            )
             self._compiled = (pf_from(consts), unravel, transforms, flat_proto, init_fn, scan_fn)
             self._cache_key = key
         return self._compiled
+
+    def _resolve_leapfrogs_per_round(self, use_async, nc):
+        """Substeps per async round.  Explicit value wins; ``None`` -> auto.
+
+        Auto stays at 1 until the on-chip sweep says otherwise (the sample
+        stream is identical for every L, so this is purely a wall-clock
+        knob; see docs/PERF.md round-5 bookkeeping-amortization section).
+        """
+        if not use_async:
+            if self.leapfrogs_per_round not in (None, 1):
+                raise ValueError(
+                    "leapfrogs_per_round only applies to the continuous-batching "
+                    "(async) chain scheduler"
+                )
+            return 1
+        if self.leapfrogs_per_round is not None:
+            return self.leapfrogs_per_round
+        return 1
 
     def _resolve_scheduler(self, nc):
         """True -> the continuous-batching (async) chain scheduler.

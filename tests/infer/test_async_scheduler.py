@@ -56,6 +56,41 @@ def test_async_bitwise_equals_sync():
     _assert_identical(_run("sync"), _run("async"))
 
 
+def test_leapfrogs_per_round_bitwise_identical():
+    """L masked substeps per round only reschedule wall-clock work: the
+    realized sample stream, extra fields, and adaptation state must be
+    BIT-IDENTICAL to L=1 (and hence to the sync scan) for every L."""
+    base = _run("async", leapfrogs_per_round=1)
+    for L in (2, 4, 7):
+        _assert_identical(base, _run("async", leapfrogs_per_round=L))
+
+
+def test_leapfrogs_per_round_collective_bitwise_identical():
+    """The window-barrier collective path must also be invariant to L
+    (parked lanes stay parked across substeps; the pooled close still fires
+    the round the last chain crosses the boundary)."""
+
+    def run(L):
+        m = MCMC(
+            NUTS(funnelish_model, max_tree_depth=6, adapt_step_size=False, step_size=0.2),
+            num_warmup=120, num_samples=80, num_chains=4,
+            collective_adaptation=True, chain_scheduler="async",
+            leapfrogs_per_round=L,
+        )
+        m.run(jax.random.PRNGKey(7))
+        return m
+
+    _assert_identical(run(1), run(5))
+
+
+def test_leapfrogs_per_round_guards():
+    with pytest.raises(ValueError):
+        MCMC(NUTS(funnelish_model), num_chains=4, leapfrogs_per_round=0)
+    m = MCMC(NUTS(funnelish_model), num_chains=4, chain_scheduler="sync", leapfrogs_per_round=4)
+    with pytest.raises(ValueError):
+        m._resolve_leapfrogs_per_round(False, 4)
+
+
 def test_async_equals_sync_dense_mass_to_ulp():
     """Dense mass: the batched Cholesky fuses differently in the two program
     structures, so XLA rounding differs at the ULP level (measured 2e-16 on

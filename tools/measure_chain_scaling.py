@@ -40,14 +40,16 @@ from gwinferno_tpu.pipeline.utils import load_pe_and_injections_as_dict  # noqa:
 
 WARMUP = int(os.environ.get("SCALE_WARMUP", 200))
 SAMPLES = int(os.environ.get("SCALE_SAMPLES", 200))
-# chains:groups[:sample_chunks[:batch]] tuples.  groups>1 = the lax.map
-# device-batch tiling workaround; sample_chunks>1 = the at-the-source fix
-# (ops/chunked.py scan+checkpoint tiles INSIDE the flat vmapped gradient);
-# batch>0 = MCMC(chain_batch_size=batch): sequential whole-run batches of
-# the proven single-batch program.
+# chains:groups[:sample_chunks[:batch[:leapfrogs]]] tuples.  groups>1 = the
+# lax.map device-batch tiling workaround; sample_chunks>1 = the at-the-source
+# fix (ops/chunked.py scan+checkpoint tiles INSIDE the flat vmapped
+# gradient); batch>0 = MCMC(chain_batch_size=batch): sequential whole-run
+# batches of the proven single-batch program; leapfrogs>1 =
+# MCMC(leapfrogs_per_round=L): L masked substeps per async round, amortizing
+# the transition-boundary bookkeeping (sample stream identical for every L).
 DEFAULT_CONFIGS = "16:1,32:1,64:1,32:2,64:4,32:1:2,64:1:4"
 CONFIGS = [
-    tuple(int(v) for v in (pair.split(":") + ["1", "0"])[:4])
+    tuple(int(v) for v in (pair.split(":") + ["1", "0", "1"])[:5])
     for pair in os.environ.get("SCALE_CONFIGS", DEFAULT_CONFIGS).split(",")
 ]
 # SCALE_MESH=1: the multi-device variant -- chain axis sharded over all
@@ -60,7 +62,7 @@ CONFIGS = [
 MESH_MODE = os.environ.get("SCALE_MESH", "0") == "1"
 
 
-def run_one(model, n_chains, groups, chunks=1, batch=0):
+def run_one(model, n_chains, groups, chunks=1, batch=0, leapfrogs=1):
     bench.N_CHAINS = n_chains  # make_init sizes its jitter batch from this
     mcmc = MCMC(
         NUTS(
@@ -74,6 +76,7 @@ def run_one(model, n_chains, groups, chunks=1, batch=0):
         num_chains=n_chains,
         chain_groups=groups,
         chain_batch_size=batch if batch > 0 else None,
+        leapfrogs_per_round=leapfrogs if leapfrogs > 1 else None,
         chain_scheduler=os.environ.get("SCALE_SCHEDULER", "auto"),
         chain_method="parallel" if MESH_MODE else "vectorized",
         collective_adaptation=MESH_MODE,
@@ -99,6 +102,7 @@ def run_one(model, n_chains, groups, chunks=1, batch=0):
         "chain_groups": groups,
         "sample_chunks": chunks,
         "chain_batch_size": batch or None,
+        "leapfrogs_per_round": leapfrogs,
         "scheduler": "async" if mcmc._resolve_scheduler(batch or n_chains) else "sync",
         "seg": int(os.environ.get("BENCH_SEG", 25)),
         "wall_s": round(wall, 2),
@@ -124,10 +128,10 @@ def main():
         return models[chunks]
 
     rows = []
-    for n_chains, groups, chunks, batch in CONFIGS:
-        print(f"--- {n_chains} chains / {groups} groups / {chunks} chunks / batch {batch}",
+    for n_chains, groups, chunks, batch, leapfrogs in CONFIGS:
+        print(f"--- {n_chains} chains / {groups} groups / {chunks} chunks / batch {batch} / L {leapfrogs}",
               file=sys.stderr, flush=True)
-        rows.append(run_one(model_for(chunks), n_chains, groups, chunks, batch))
+        rows.append(run_one(model_for(chunks), n_chains, groups, chunks, batch, leapfrogs))
         print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
 
     out = {
