@@ -44,8 +44,21 @@ def ensure_data():
     remains the fixture for the shape/contract tests."""
     gen = os.path.join(HERE, "tests", "data", "make_synthetic_injections.py")
     target = os.path.join(HERE, "tests", "data", "pe_inj_synthetic.h5")
-    if not os.path.exists(target) or os.path.getmtime(target) < os.path.getmtime(gen):
+    # Regenerate ONLY if missing (or BENCH_REGEN_DATA=1).  The catalog is
+    # committed and md5-pinned by the parity/ensemble baselines
+    # (tools/parity); the old mtime heuristic re-ran the generator after
+    # every fresh checkout (checkout order sets mtimes) and tiny
+    # environment-level float differences produced a not-bit-identical
+    # file, silently disabling the parity gate for the whole session.
+    if not os.path.exists(target) or os.environ.get("BENCH_REGEN_DATA") == "1":
         subprocess.run([sys.executable, gen], check=True)
+    elif os.path.getmtime(target) < os.path.getmtime(gen):
+        print(
+            "note: tests/data/make_synthetic_injections.py is newer than the "
+            "committed catalog; set BENCH_REGEN_DATA=1 to regenerate (and then "
+            "regenerate the md5-pinned baselines under tools/parity/)",
+            file=sys.stderr,
+        )
     return target
 
 
@@ -106,7 +119,13 @@ def make_model(pedict, injdict, constants, z_model):
     # bounds the (C, N_bank) gradient intermediates that fall off the XLA
     # fusion cliff beyond ~16 flat chain lanes (docs/chain_scaling.json)
     n_chunks = int(os.environ.get("BENCH_SAMPLE_CHUNKS", "1"))
-    if n_chunks > 1:
+    # BENCH_STREAMED=1: the whole log-weight chain fused into streamed
+    # Pallas kernels (ops/streamed.py) feeding the summaries seam -- the
+    # flat XLA gradient moves ~1.01 GB of (C, N_bank) intermediates per
+    # 16-chain step (74% of HBM bandwidth, the engine's measured floor);
+    # the streamed kernels touch only the banks themselves.
+    streamed = os.environ.get("BENCH_STREAMED", "0") == "1"
+    if streamed or n_chunks > 1:
         pe2d = {k: np.asarray(pedict[k]) for k in PARAMS7}
         pe2d["log_prior"] = np.log(np.asarray(pedict["prior"]))
         pe2d["log_dvdz"] = np.log(np.asarray(z_model.dVdzs[1]))
@@ -115,6 +134,39 @@ def make_model(pedict, injdict, constants, z_model):
         inj1d["log_prior"] = np.log(np.asarray(injdict["prior"]))
         inj1d["log_dvdz"] = np.log(np.asarray(z_model.dVdzs[0]))
         inj1d["log1pz"] = np.log1p(inj1d["redshift"])
+
+    if streamed:
+        from gwinferno_tpu.ops.streamed import make_streamed_double_logsumexp
+        from gwinferno_tpu.ops.streamed import reshape_bank_rows
+        from gwinferno_tpu.ops.streamed import streamed_summaries
+
+        def streamed_logw(d, th):
+            logw = (
+                log_plpeak_primary_ratio_pdf(
+                    d["mass_1"], d["mass_ratio"], th["alpha"], th["beta"],
+                    MMIN, MMAX, th["mu_peak"], th["sig_peak"], th["lambda_m"]
+                )
+                + log_independent_spin_magnitude_beta_dist(
+                    d["a_1"], d["a_2"], th["alpha_a1"], th["beta_a1"], th["alpha_a2"], th["beta_a2"]
+                )
+                + log_independent_spin_tilt(
+                    d["cos_tilt_1"], d["cos_tilt_2"], th["lambda_ct1"], th["lambda_ct2"],
+                    th["sig_ct1"], th["sig_ct2"]
+                )
+                + jnp.where(
+                    d["redshift"] <= z_model.zmax,
+                    d["log_dvdz"] + (th["lamb"] - 1.0) * d["log1pz"] - th["z_lognorm"],
+                    jnp.nan_to_num(-jnp.inf),
+                )
+                - d["log_prior"]
+            )
+            return jnp.where(jnp.isnan(logw) | (logw == jnp.inf), -jnp.inf, logw)
+
+        inj_rows, inj_valid = reshape_bank_rows(inj1d, cols=8192)
+        pe_op = make_streamed_double_logsumexp(streamed_logw, pe2d, block_rows=8)
+        inj_op = make_streamed_double_logsumexp(
+            streamed_logw, inj_rows, block_rows=8, valid=inj_valid
+        )
 
     def beta_ab(mu, var):
         nu = mu * (1.0 - mu) / var - 1.0
@@ -165,6 +217,30 @@ def make_model(pedict, injdict, constants, z_model):
                 - d["log_prior"]
             )
             return jnp.where(jnp.isnan(logw) | (logw == jnp.inf), -jnp.inf, logw)
+
+        if streamed:
+            th = {
+                "alpha": alpha, "beta": beta, "mu_peak": mu_peak, "sig_peak": sig_peak,
+                "lambda_m": lambda_m, "alpha_a1": alpha_a1, "beta_a1": beta_a1,
+                "alpha_a2": alpha_a2, "beta_a2": beta_a2, "lambda_ct1": lambda_ct1,
+                "lambda_ct2": lambda_ct2, "sig_ct1": sig_ct1, "sig_ct2": sig_ct2,
+                "lamb": lamb, "z_lognorm": z_lognorm,
+            }
+            pe_sum, inj_sum = streamed_summaries(pe_op, inj_op, th, S, constants["total_inj"])
+            hierarchical_likelihood(
+                None,
+                None,
+                total_inj=constants["total_inj"],
+                Nobs=constants["nObs"],
+                Tobs=constants["obs_time"],
+                surveyed_hypervolume=jnp.exp(z_lognorm),
+                marginalize_selection=False,
+                min_neff_cut=True,
+                log=True,
+                pe_summaries=pe_sum,
+                inj_summaries=inj_sum,
+            )
+            return
 
         if n_chunks > 1:
             from gwinferno_tpu.ops.chunked import chunked_summaries

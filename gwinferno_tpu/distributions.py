@@ -15,6 +15,9 @@ tautological).
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
+import jax
 import jax.numpy as jnp
 from jax.nn import sigmoid
 from jax.scipy.special import betaln
@@ -161,8 +164,22 @@ def _powerlaw_log_norm(alpha, low, high):
     b = ap1 * log_low
     diff = jnp.abs(a - b)
     eps = jnp.finfo(jnp.result_type(diff.dtype, jnp.float32)).eps
-    # |e^a - e^b| = e^max(a,b) * (1 - e^-|a-b|)
-    log_span = jnp.maximum(a, b) + jnp.log(-jnp.expm1(-jnp.maximum(diff, eps)))
+    # |e^a - e^b| = e^max(a,b) * (1 - e^-|a-b|).  The (1 - e^-d) factor is
+    # -expm1(-d), written as a where-guarded series for small d: expm1 is
+    # not lowerable inside Pallas TPU kernels (ops/streamed.py runs this
+    # chain in-kernel), and the 3-term series matches expm1 to < 1e-8
+    # relative below the 1e-2 switch point, well under f32 roundoff.
+    d = jnp.maximum(diff, eps)
+    if _PALLAS_SAFE[0]:
+        # Mosaic cannot lower expm1; a 3-term series below the 1e-2 switch
+        # matches it to < 1e-8 relative (well under f32 roundoff)
+        d_big = jnp.maximum(d, 1e-2)
+        neg_expm1_neg = jnp.where(
+            d < 1e-2, d * (1.0 - 0.5 * d * (1.0 - d / 3.0)), 1.0 - jnp.exp(-d_big)
+        )
+    else:
+        neg_expm1_neg = -jnp.expm1(-d)
+    log_span = jnp.maximum(a, b) + jnp.log(neg_expm1_neg)
     generic = jnp.log(jnp.abs(ap1)) - log_span
     # alpha == -1: 1/|log(high/low)|, clamped away from the degenerate zero
     special = -jnp.log(jnp.maximum(jnp.abs(log_high - log_low), eps))
@@ -202,8 +219,138 @@ def powerlaw_pdf(xx, alpha, low, high, floor=0.0):
     return jnp.where(oob, floor, prob)
 
 
+# --- Cody rational erf (netlib CALERF) ------------------------------------
+# Pallas TPU kernels cannot lower the erf primitive (ops/streamed.py runs
+# the truncnorm chain in-kernel), so the error function is evaluated with
+# W. J. Cody's rational Chebyshev approximations (exp/where/polynomials
+# only; max relative error ~1e-16 in f64 -- the same scheme XLA's own erf
+# lowering uses).  The derivative is exact via custom_jvp.
+_ERF_A = (3.16112374387056560e00, 1.13864154151050156e02, 3.77485237685302021e02,
+          3.20937758913846947e03, 1.85777706184603153e-1)
+_ERF_B = (2.36012909523441209e01, 2.44024637934444173e02, 1.28261652607737228e03,
+          2.84423683343917062e03)
+_ERF_C = (5.64188496988670089e-1, 8.88314979438837594e00, 6.61191906371416295e01,
+          2.98635138197400131e02, 8.81952221241769090e02, 1.71204761263407058e03,
+          2.05107837782607147e03, 1.23033935479799725e03, 2.15311535474403846e-8)
+_ERF_D = (1.57449261107098347e01, 1.17693950891312499e02, 5.37181101862009858e02,
+          1.62138957456669019e03, 3.29079923573345963e03, 4.36261909014324716e03,
+          3.43936767414372164e03, 1.23033935480374942e03)
+_ERF_P = (3.05326634961232344e-1, 3.60344899949804439e-1, 1.25781726111229246e-1,
+          1.60837851487422766e-2, 6.58749161529837803e-4, 1.63153871373020978e-2)
+_ERF_Q = (2.56852019228982242e00, 1.87295284992346047e00, 5.27905102951428412e-1,
+          6.05183413124413191e-2, 2.33520497626869185e-3)
+_SQRPI = 5.6418958354775628695e-1  # 1/sqrt(pi)
+
+
+def _erfc_scaled_tail(y, num, den):
+    """exp(-y^2) * num/den with Cody's split-square trick (the square is
+    evaluated as a 1/16-quantized part plus a small remainder so the
+    exponential keeps full precision at large y)."""
+    ysq = jnp.floor(y * 16.0) / 16.0
+    del_ = (y - ysq) * (y + ysq)
+    return jnp.exp(-ysq * ysq) * jnp.exp(-del_) * num / den
+
+
+@jax.custom_jvp
+def _erf_cody(x):
+    x = jnp.asarray(x)
+    y = jnp.abs(x)
+    A, B, C, D, P, Q = _ERF_A, _ERF_B, _ERF_C, _ERF_D, _ERF_P, _ERF_Q
+
+    # |x| <= 0.46875: erf(x) = x R(x^2)
+    z1 = jnp.square(jnp.minimum(y, 0.46875))
+    num1 = (((A[4] * z1 + A[0]) * z1 + A[1]) * z1 + A[2]) * z1 + A[3]
+    den1 = (((z1 + B[0]) * z1 + B[1]) * z1 + B[2]) * z1 + B[3]
+    r1 = x * num1 / den1
+
+    # 0.46875 < |x| <= 4: erfc(y) = exp(-y^2) R(y)
+    y2 = jnp.clip(y, 0.46875, 4.0)
+    num2 = C[8] * y2
+    den2 = y2
+    for i in range(7):
+        num2 = (num2 + C[i]) * y2
+        den2 = (den2 + D[i]) * y2
+    erfc2 = _erfc_scaled_tail(y2, num2 + C[7], den2 + D[7])
+
+    # |x| > 4: erfc(y) = exp(-y^2)/y (1/sqrt(pi) - z R(z)), z = 1/y^2
+    y3 = jnp.maximum(y, 4.0)
+    z3 = 1.0 / (y3 * y3)
+    num3 = P[5] * z3
+    den3 = z3
+    for i in range(4):
+        num3 = (num3 + P[i]) * z3
+        den3 = (den3 + Q[i]) * z3
+    r3 = z3 * (num3 + P[4]) / (den3 + Q[4])
+    erfc3 = _erfc_scaled_tail(y3, _SQRPI - r3, y3)
+
+    erfc_abs = jnp.where(y <= 4.0, erfc2, erfc3)
+    return jnp.where(y <= 0.46875, r1, jnp.sign(x) * (1.0 - erfc_abs))
+
+
+@_erf_cody.defjvp
+def _erf_cody_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    return _erf_cody(x), 2.0 * _SQRPI * jnp.exp(-jnp.square(x)) * dx
+
+
+# XLA's native erf/lgamma primitives are faster than the rational forms
+# below (the likelihood chain is VPU-compute-bound: always-on Cody erf cost
+# a measured 23% of bench wall), but Mosaic cannot lower them inside Pallas
+# kernels.  This trace-time flag -- set by ops/streamed.py around kernel-
+# body tracing -- routes the special functions to the kernel-safe forms
+# only where they are needed.
+_PALLAS_SAFE = [False]
+
+
+@_contextmanager
+def pallas_safe_special_fns():
+    """Within this context (kernel-body tracing), erf/betaln evaluate via
+    the Mosaic-lowerable Cody/Lanczos rational forms."""
+    _PALLAS_SAFE[0] = True
+    try:
+        yield
+    finally:
+        _PALLAS_SAFE[0] = False
+
+
+def _erf(x):
+    return _erf_cody(x) if _PALLAS_SAFE[0] else erf(x)
+
+
 def _norm_cdf(z):
-    return 0.5 * (1.0 + erf(z / jnp.sqrt(2.0)))
+    return 0.5 * (1.0 + _erf(z / jnp.sqrt(2.0)))
+
+
+# --- Lanczos log-gamma -----------------------------------------------------
+# Same motivation as _erf_cody: the lgamma primitive (inside betaln) is not
+# lowerable in Pallas TPU kernels.  Lanczos g=7/n=9 gives ~1e-13 relative
+# accuracy for z > 0.5; smaller arguments use the recurrence
+# lgamma(z) = lgamma(z + 1) - log(z) (beta shape parameters here are
+# always > 0).
+_LANCZOS_G = 7.0
+_LANCZOS_C = (0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+              771.32342877765313, -176.61502916214059, 12.507343278686905,
+              -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+_HALF_LOG_2PI = 0.9189385332046727417803297  # log(2 pi) / 2
+
+
+def _lgamma_lanczos(z):
+    z = jnp.asarray(z)
+    small = z < 0.5
+    zz = jnp.where(small, z + 1.0, z)  # recurrence shift for (0, 0.5)
+    x = jnp.full_like(zz, _LANCZOS_C[0])
+    for i, c in enumerate(_LANCZOS_C[1:], start=1):
+        x = x + c / (zz - 1.0 + i)
+    t = zz + _LANCZOS_G - 0.5
+    lg = _HALF_LOG_2PI + (zz - 0.5) * jnp.log(t) - t + jnp.log(x)
+    return jnp.where(small, lg - jnp.log(jnp.maximum(z, jnp.finfo(lg.dtype).tiny)), lg)
+
+
+def _betaln(a, b):
+    if not _PALLAS_SAFE[0]:
+        return betaln(a, b)
+    return _lgamma_lanczos(a) + _lgamma_lanczos(b) - _lgamma_lanczos(a + b)
 
 
 def log_truncnorm_pdf(xx, mu, sig, low, high, log=False):
@@ -259,7 +406,7 @@ def log_betadist(xx, alpha, beta, scale=1.0, floor=-jnp.inf):
         (alpha - 1.0) * xp.log(safe_x)
         + (beta - 1.0) * xp.log(scale - safe_x)
         - (alpha + beta - 1.0) * xp.log(scale)
-        - betaln(alpha, beta)
+        - _betaln(alpha, beta)
     )
     return jnp.where(inb, ln, floor)
 

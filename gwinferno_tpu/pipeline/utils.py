@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from argparse import ArgumentParser
 
+import sys
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,7 +100,7 @@ def load_pe_and_injections_as_dict(file, ignore=None):
     """
     groups = load_groups(file)
     pe, inj = groups["pe_data"], groups["inj_data"]
-    print(f"data file {file} loaded")
+    print(f"data file {file} loaded", file=sys.stderr)
 
     pe_arr = pe["posteriors"]
     params = [str(p) for p in pe_arr.coords["param"]]
